@@ -1,0 +1,134 @@
+"""Codec configuration: compression levels 1-4 map to context-model geometry.
+
+Mirrors the capability of slimfastq's level knob (SURVEY.md §2 "Config /
+flags": levels select context-model depth/table sizes in the sequence and
+quality codecs) re-expressed as explicit dataclasses. TPU-side knobs (lanes,
+block size) deliberately do NOT affect output bytes except through the
+documented block structure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class QualGeom:
+    """Quality-stream model geometry.
+
+    Context = prev qual (q1, full) | quantised prev-prev qual (q2) | position
+    bucket — the fqzcomp/slimfastq quality-context family (SURVEY.md §2
+    "Quality codec").
+    """
+    depth: int = 6          # bits per symbol (6 => 64-symbol alphabet)
+    q2_bits: int = 3        # quantised second-order qual context bits
+    pos_bits: int = 4       # position-bucket bits
+    pos_shift: int = 3      # bucket = min(pos >> shift, 2^pos_bits - 1)
+    rate: int = 5           # adaptation shift
+
+    @property
+    def num_ctx(self) -> int:
+        return 1 << (self.depth + self.q2_bits + self.pos_bits)
+
+    @property
+    def table_size(self) -> int:
+        return self.num_ctx * ((1 << self.depth) - 1)
+
+
+@dataclass(frozen=True)
+class SeqGeom:
+    """Sequence-stream model geometry: order-k 2-bit base context
+    (SURVEY.md §2 "Sequence codec").
+
+    Partial contexts (the first j < k bases of a read) are disambiguated
+    exactly: ctx = rolled_bases + (4^j - 1)/3, i.e. every node of the depth-k
+    4-ary prefix tree owns a table row, so a fresh read never aliases a run
+    of A's. num_ctx = (4^(k+1) - 1)/3.
+    """
+    order: int = 10         # k previous bases of context
+    rate: int = 4
+
+    depth: int = 2          # 2 bits per base — fixed
+
+    @property
+    def num_ctx(self) -> int:
+        return ((1 << (2 * (self.order + 1))) - 1) // 3
+
+    @property
+    def table_size(self) -> int:
+        return self.num_ctx * 3
+
+
+@dataclass(frozen=True)
+class ByteGeom:
+    """Generic byte-stream model: 8-bit tree, order-0/1 previous-byte ctx."""
+    order: int = 1
+    rate: int = 4
+
+    depth: int = 8
+
+    @property
+    def num_ctx(self) -> int:
+        return 256 if self.order else 1
+
+    @property
+    def table_size(self) -> int:
+        return self.num_ctx * 255
+
+
+@dataclass(frozen=True)
+class FlagGeom:
+    """1-bit flag stream: context = last `hist_bits` flags."""
+    hist_bits: int = 2
+    rate: int = 4
+
+    depth: int = 1
+
+    @property
+    def num_ctx(self) -> int:
+        return 1 << self.hist_bits
+
+    @property
+    def table_size(self) -> int:
+        return self.num_ctx
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    """Full codec configuration for one container."""
+    level: int = 3
+    qual: QualGeom = field(default_factory=QualGeom)
+    seq: SeqGeom = field(default_factory=SeqGeom)
+    bytes_: ByteGeom = field(default_factory=ByteGeom)
+    flags: FlagGeom = field(default_factory=FlagGeom)
+    # TPU/block knobs — affect parallel layout only, not per-lane bit streams
+    block_records: int = 1 << 14   # records per independently-decodable block
+    lanes: int = 512               # interleaved lanes for qual/seq streams
+    aux_lanes: int = 64            # lanes for small id/length/flag streams
+
+
+# Level table: ratio/speed trade-off analogous to slimfastq -1..-4
+# (SURVEY.md §5 "Config / flag system"). Larger level = bigger context
+# tables = better ratio, more HBM.
+LEVELS: dict[int, CodecConfig] = {
+    1: CodecConfig(level=1,
+                   qual=QualGeom(q2_bits=0, pos_bits=2, pos_shift=5, rate=5),
+                   seq=SeqGeom(order=6, rate=4)),
+    2: CodecConfig(level=2,
+                   qual=QualGeom(q2_bits=2, pos_bits=3, pos_shift=4, rate=5),
+                   seq=SeqGeom(order=8, rate=4)),
+    3: CodecConfig(level=3,
+                   qual=QualGeom(q2_bits=3, pos_bits=4, pos_shift=3, rate=5),
+                   seq=SeqGeom(order=10, rate=4)),
+    4: CodecConfig(level=4,
+                   qual=QualGeom(q2_bits=6, pos_bits=4, pos_shift=3, rate=5),
+                   seq=SeqGeom(order=12, rate=4)),
+}
+
+
+def config_for_level(level: int, **overrides) -> CodecConfig:
+    base = LEVELS[level]
+    if overrides:
+        from dataclasses import replace
+        base = replace(base, **overrides)
+    return base

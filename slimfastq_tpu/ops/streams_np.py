@@ -1,0 +1,177 @@
+"""Generic lane-stream encode/decode drivers — NumPy oracle.
+
+A *stream* is a [S, W] matrix of symbols (S lockstep steps, W lanes) plus a
+per-lane symbol count. Context is computed per step from a small carried
+state whose update law is shared verbatim between encoder and decoder — the
+determinism requirement inherited from slimfastq's mirrored save/load codecs
+(SURVEY.md §1 data-flow note).
+
+Context kinds:
+  * qual: ctx = q1 | quantised(q2) << d | pos_bucket << (d + q2b)
+  * seq:  ctx = previous `order` bases, rolled 2 bits per step, reset per read
+  * byte: ctx = previous byte (order-1) or constant (order-0); continuous
+          within a lane so the decoder never needs record boundaries
+  * flag: ctx = last `hist_bits` decoded flags
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import ByteGeom, FlagGeom, QualGeom, SeqGeom
+from . import ranger_np as R
+
+U32 = np.uint32
+
+
+class QualCtx:
+    def __init__(self, geom: QualGeom, W: int):
+        self.g = geom
+        self.a = np.zeros(W, dtype=U32)  # prev qual within read
+        self.b = np.zeros(W, dtype=U32)  # prev-prev qual within read
+
+    def step_ctx(self, t: int, pos: np.ndarray, reset: np.ndarray) -> np.ndarray:
+        g = self.g
+        rs = reset.astype(bool)
+        self.a = np.where(rs, U32(0), self.a)
+        self.b = np.where(rs, U32(0), self.b)
+        ctx = self.a
+        shift = g.depth
+        if g.q2_bits:
+            q2q = self.b >> U32(g.depth - g.q2_bits)
+            ctx = ctx | (q2q << U32(shift))
+            shift += g.q2_bits
+        if g.pos_bits:
+            posb = np.minimum(pos >> U32(g.pos_shift),
+                              U32((1 << g.pos_bits) - 1))
+            ctx = ctx | (posb.astype(U32) << U32(shift))
+        return ctx
+
+    def advance(self, sym: np.ndarray) -> None:
+        self.b = self.a
+        self.a = sym.astype(U32)
+
+
+class SeqCtx:
+    def __init__(self, geom: SeqGeom, W: int):
+        self.g = geom
+        self.h = np.zeros(W, dtype=U32)
+        self.mask = U32((1 << (2 * geom.order)) - 1)
+        # offset[j] = (4^j - 1) / 3: start of the order-j partial-ctx region
+        k = geom.order
+        self.offsets = (((U32(1) << (2 * np.arange(k + 1, dtype=U32)))
+                         - U32(1)) // U32(3)).astype(U32)
+
+    def step_ctx(self, t: int, pos: np.ndarray, reset: np.ndarray) -> np.ndarray:
+        self.h = np.where(reset.astype(bool), U32(0), self.h)
+        j = np.minimum(pos.astype(np.int64), self.g.order)
+        return self.h + self.offsets[j]
+
+    def advance(self, sym: np.ndarray) -> None:
+        self.h = ((self.h << U32(2)) | sym.astype(U32)) & self.mask
+
+
+class ByteCtx:
+    def __init__(self, geom: ByteGeom, W: int):
+        self.g = geom
+        self.pb = np.zeros(W, dtype=U32)
+
+    def step_ctx(self, t: int, pos=None, reset=None) -> np.ndarray:
+        return self.pb if self.g.order else np.zeros_like(self.pb)
+
+    def advance(self, sym: np.ndarray) -> None:
+        self.pb = sym.astype(U32)
+
+
+class FlagCtx:
+    def __init__(self, geom: FlagGeom, W: int):
+        self.g = geom
+        self.hist = np.zeros(W, dtype=U32)
+        self.mask = U32((1 << geom.hist_bits) - 1)
+
+    def step_ctx(self, t: int, pos=None, reset=None) -> np.ndarray:
+        return self.hist
+
+    def advance(self, sym: np.ndarray) -> None:
+        self.hist = ((self.hist << U32(1)) | sym.astype(U32)) & self.mask
+
+
+_CTX = {"qual": QualCtx, "seq": SeqCtx, "byte": ByteCtx, "flag": FlagCtx}
+
+
+def _geom_fields(geom):
+    return geom.depth, geom.rate, geom.table_size
+
+
+def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
+                  pos: np.ndarray | None = None,
+                  reset: np.ndarray | None = None):
+    """Encode [S, W] symbols. Returns (payload uint8[W, maxlen], lens[W])."""
+    S, W = syms.shape
+    depth, rate, tsize = _geom_fields(geom)
+    table = R.table_init(tsize)
+    enc = R.LaneEncoder(W, R.worst_case_bytes(S * depth))
+    ctxer = _CTX[kind](geom, W)
+    z = np.zeros(W, dtype=U32)
+    for t in range(S):
+        active = counts > t
+        if not active.any():
+            break
+        p_t = pos[t] if pos is not None else z
+        r_t = reset[t] if reset is not None else z
+        ctx = ctxer.step_ctx(t, p_t, r_t)
+        R.encode_symbols(enc, table, ctx, syms[t].astype(U32), active,
+                         depth, rate)
+        ctxer.advance(np.where(active, syms[t].astype(U32), U32(0)))
+    enc.flush(active=counts > 0)
+    maxlen = int(enc.ptr.max()) if enc.ptr.size else 0
+    return enc.out[:, :maxlen].copy(), enc.ptr.copy()
+
+
+def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
+                  counts: np.ndarray, num_steps: int,
+                  pos: np.ndarray | None = None,
+                  reset: np.ndarray | None = None) -> np.ndarray:
+    """Decode back to uint32[S, W] symbols (0 where inactive)."""
+    W = payload.shape[0]
+    depth, rate, tsize = _geom_fields(geom)
+    table = R.table_init(tsize)
+    dec = R.LaneDecoder(payload, lens)
+    ctxer = _CTX[kind](geom, W)
+    out = np.zeros((num_steps, W), dtype=U32)
+    z = np.zeros(W, dtype=U32)
+    for t in range(num_steps):
+        active = counts > t
+        if not active.any():
+            break
+        p_t = pos[t] if pos is not None else z
+        r_t = reset[t] if reset is not None else z
+        ctx = ctxer.step_ctx(t, p_t, r_t)
+        sym = R.decode_symbols(dec, table, ctx, active, depth, rate)
+        out[t] = sym
+        ctxer.advance(sym)
+    return out
+
+
+def build_pos_reset(lane_lengths: np.ndarray, num_steps: int):
+    """From per-lane record lengths [Rpl, W] (0-padded), build the per-step
+    position and reset matrices [S, W] used by qual/seq context functions.
+
+    Vectorised so the identical construction runs under jit on device
+    (see streams_jax.build_pos_reset).
+    """
+    Rpl, W = lane_lengths.shape
+    starts = np.zeros((Rpl, W), dtype=np.int64)
+    starts[1:] = np.cumsum(lane_lengths[:-1].astype(np.int64), axis=0)
+    reset = np.zeros((num_steps, W), dtype=U32)
+    valid = lane_lengths > 0
+    r, w = np.nonzero(valid)
+    s = starts[r, w]
+    keep = s < num_steps
+    reset[s[keep], w[keep]] = 1
+    # pos[t] = t - last start <= t
+    t_idx = np.arange(num_steps, dtype=np.int64)[:, None]
+    start_mark = np.where(reset.astype(bool), t_idx, np.int64(-1))
+    last_start = np.maximum.accumulate(start_mark, axis=0)
+    pos = (t_idx - np.maximum(last_start, 0)).astype(U32)
+    return pos, reset

@@ -1,0 +1,353 @@
+"""Block assembly + per-block encode/decode orchestration.
+
+A *block* is a fixed-record-count, independently decodable unit — the
+TPU-native replacement for slimfastq's single serial stream (SURVEY.md §2
+"Container": per-block model state is what makes data-parallel encode/decode
+and the multi-host ordered gather possible).
+
+Record -> lane mapping is round-robin (record r -> lane r % W, slot r // W),
+so lanes stay balanced and every per-record "previous" reference (ID deltas,
+length deltas) is lane-local and deterministic.
+
+Stream inventory per block (fixed order):
+  LEN   byte  — svarint(read_len - prev_len), lane-local prev (init 0)
+  FLAG  flag  — 3 bits/record: [id_exception, plus_plain, plus_is_idcopy]
+  IDD   byte  — svarint digit-token deltas for flag=0 IDs
+  IDX   byte  — varint-length-prefixed exception IDs and plus lines
+  SEQX  byte  — non-ACGT exceptions: varint(gap in global base index) + char
+  SEQ   2bit  — bases (exceptions coded as A), order-k rolling context
+  QUAL  6/7bit— qualities biased by per-block minq
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .config import CodecConfig
+from .models import readid
+from .ops import streams_np
+from .utils.bits import get_svarint, get_varint, put_svarint, put_varint
+from .utils.fastq import FastqBatch
+
+U32 = np.uint32
+
+STREAMS = ("LEN", "FLAG", "IDD", "IDX", "SEQX", "SEQ", "QUAL")
+
+_BASE_TO_CODE = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _BASE_TO_CODE[_b] = _i
+_CODE_TO_BASE = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+@dataclass
+class EncodedStream:
+    sym_counts: np.ndarray  # int64[W] symbols per lane
+    lane_lens: np.ndarray   # int64[W] compressed bytes per lane
+    payload: np.ndarray     # uint8[W, maxlen]
+
+
+@dataclass
+class EncodedBlock:
+    num_records: int
+    minq: int
+    qual_depth: int
+    streams: dict[str, EncodedStream]
+
+
+def _to_lane_streams(per_record: list[bytes | bytearray], W: int):
+    """Concatenate per-record byte strings lane-major -> ([S,W] syms, counts)."""
+    n = len(per_record)
+    lane_bufs = [bytearray() for _ in range(W)]
+    for r in range(n):
+        lane_bufs[r % W] += per_record[r]
+    counts = np.array([len(b) for b in lane_bufs], dtype=np.int64)
+    S = int(counts.max()) if n else 0
+    syms = np.zeros((S, W), dtype=U32)
+    for w, b in enumerate(lane_bufs):
+        if b:
+            syms[: len(b), w] = np.frombuffer(bytes(b), dtype=np.uint8)
+    return syms, counts
+
+
+def _from_lane_streams(syms: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """Inverse of _to_lane_streams at the whole-lane level."""
+    W = syms.shape[1]
+    return [syms[: counts[w], w].astype(np.uint8).tobytes() for w in range(W)]
+
+
+def _lane_lengths_matrix(lengths: np.ndarray, W: int) -> np.ndarray:
+    """[Rpl, W] per-lane record lengths, 0-padded."""
+    n = len(lengths)
+    Rpl = (n + W - 1) // W if n else 0
+    mat = np.zeros((Rpl, W), dtype=np.int64)
+    idx = np.arange(n)
+    mat[idx // W, idx % W] = lengths
+    return mat
+
+
+def _seq_symbol_layout(lengths: np.ndarray, W: int):
+    """Lane layout for base/qual streams: counts[W], pos[S,W], reset[S,W]."""
+    mat = _lane_lengths_matrix(lengths, W)
+    counts = mat.sum(axis=0)
+    S = int(counts.max()) if counts.size else 0
+    pos, reset = streams_np.build_pos_reset(mat, S)
+    return mat, counts, S, pos, reset
+
+
+def _scatter_record_symbols(values_per_record: list[np.ndarray], W: int,
+                            S: int, counts: np.ndarray) -> np.ndarray:
+    """Pack per-record symbol arrays into the [S, W] lane-major matrix."""
+    syms = np.zeros((S, W), dtype=U32)
+    offs = np.zeros(W, dtype=np.int64)
+    for r, vals in enumerate(values_per_record):
+        w = r % W
+        o = offs[w]
+        syms[o: o + len(vals), w] = vals
+        offs[w] = o + len(vals)
+    assert np.array_equal(offs, counts)
+    return syms
+
+
+def _gather_record_symbols(syms: np.ndarray, lengths: np.ndarray, W: int
+                           ) -> list[np.ndarray]:
+    """Inverse of _scatter_record_symbols."""
+    offs = np.zeros(W, dtype=np.int64)
+    out = []
+    for r in range(len(lengths)):
+        w = r % W
+        L = int(lengths[r])
+        out.append(syms[offs[w]: offs[w] + L, w])
+        offs[w] += L
+    return out
+
+
+def encode_block(batch: FastqBatch, cfg: CodecConfig,
+                 backend=streams_np) -> EncodedBlock:
+    n = len(batch)
+    W, Wa = cfg.lanes, cfg.aux_lanes
+    lengths = np.array([len(s) for s in batch.seqs], dtype=np.int64)
+
+    # --- host-side per-record modeling ------------------------------------
+    len_rec: list[bytearray] = []
+    flag_rec: list[bytes] = []
+    idd_lane = [bytearray() for _ in range(Wa)]
+    idx_lane = [bytearray() for _ in range(Wa)]
+    prev_len = [0] * Wa
+    for r in range(n):
+        w = r % Wa
+        b = bytearray()
+        put_svarint(b, int(lengths[r]) - prev_len[w])
+        prev_len[w] = int(lengths[r])
+        len_rec.append(b)
+
+        prev_id = batch.ids[r - Wa] if r >= Wa else None
+        f_id = readid.encode_record_id(prev_id, batch.ids[r],
+                                       idd_lane[w], idx_lane[w])
+        plus = batch.pluses[r]
+        if plus == b"+":
+            f_pp, f_pc = 1, 0
+        elif plus == b"+" + batch.ids[r]:
+            f_pp, f_pc = 0, 1
+        else:
+            f_pp, f_pc = 0, 0
+            put_varint(idx_lane[w], len(plus))
+            idx_lane[w] += plus
+        flag_rec.append(bytes([f_id, f_pp, f_pc]))
+
+    # --- sequence: 2-bit codes + exceptions -------------------------------
+    # Exception coordinates are (record, position) deltas, aux-lane-local:
+    # varint(rec_ordinal_delta); varint(pos) if new record else varint(pos_gap)
+    seq_codes: list[np.ndarray] = []
+    seqx_rec: list[bytearray] = []
+    prev_xrec = [-1] * Wa  # per aux-lane ordinal of last record with an exc
+    for r in range(n):
+        s = np.frombuffer(batch.seqs[r], dtype=np.uint8)
+        codes = _BASE_TO_CODE[s]
+        bad = codes == 255
+        xb = bytearray()
+        if bad.any():
+            w = r % Wa
+            ordinal = r // Wa
+            prev_p = -1
+            first = True
+            for p in np.nonzero(bad)[0]:
+                p = int(p)
+                if first:
+                    put_varint(xb, ordinal - prev_xrec[w])
+                    put_varint(xb, p)
+                    first = False
+                else:
+                    put_varint(xb, 0)
+                    put_varint(xb, p - prev_p)
+                xb.append(int(s[p]))
+                prev_p = p
+            prev_xrec[w] = ordinal
+            codes = np.where(bad, 0, codes)
+        seqx_rec.append(xb)
+        seq_codes.append(codes.astype(U32))
+
+    # --- quality: bias by block minq, choose tree depth -------------------
+    if n and max(len(q) for q in batch.quals) > 0:
+        minq = min(min(q) for q in batch.quals if q)
+        maxq = max(max(q) for q in batch.quals if q)
+    else:
+        minq, maxq = 33, 33
+    qrange = maxq - minq + 1
+    qual_depth = 6 if qrange <= 64 else 7
+    qual_syms_rec = [
+        (np.frombuffer(q, dtype=np.uint8).astype(U32) - U32(minq))
+        for q in batch.quals
+    ]
+
+    # --- lay out lane matrices and run the coder --------------------------
+    streams: dict[str, EncodedStream] = {}
+
+    def run_bytes(name: str, per_rec_or_lane, per_lane: bool = False):
+        if per_lane:
+            counts = np.array([len(b) for b in per_rec_or_lane],
+                              dtype=np.int64)
+            S = int(counts.max()) if counts.size else 0
+            syms = np.zeros((S, Wa), dtype=U32)
+            for w, b in enumerate(per_rec_or_lane):
+                if b:
+                    syms[: len(b), w] = np.frombuffer(bytes(b),
+                                                      dtype=np.uint8)
+        else:
+            syms, counts = _to_lane_streams(per_rec_or_lane, Wa)
+        payload, lens = backend.encode_stream("byte", cfg.bytes_, syms, counts)
+        streams[name] = EncodedStream(counts, lens, payload)
+
+    run_bytes("LEN", len_rec)
+    run_bytes("IDD", idd_lane, per_lane=True)
+    run_bytes("IDX", idx_lane, per_lane=True)
+    run_bytes("SEQX", seqx_rec)
+
+    fsyms, fcounts = _to_lane_streams(flag_rec, Wa)
+    fpay, flens = backend.encode_stream("flag", cfg.flags, fsyms, fcounts)
+    streams["FLAG"] = EncodedStream(fcounts, flens, fpay)
+
+    _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
+    sq = _scatter_record_symbols(seq_codes, W, S, scounts)
+    spay, slens = backend.encode_stream("seq", cfg.seq, sq, scounts,
+                                        pos=pos, reset=reset)
+    streams["SEQ"] = EncodedStream(scounts, slens, spay)
+
+    qs = _scatter_record_symbols(qual_syms_rec, W, S, scounts)
+    from dataclasses import replace
+    qgeom = replace(cfg.qual, depth=qual_depth)
+    qpay, qlens = backend.encode_stream("qual", qgeom, qs, scounts,
+                                        pos=pos, reset=reset)
+    streams["QUAL"] = EncodedStream(scounts, qlens, qpay)
+
+    return EncodedBlock(n, int(minq), qual_depth, streams)
+
+
+def decode_block(blk: EncodedBlock, cfg: CodecConfig,
+                 backend=streams_np) -> FastqBatch:
+    n = blk.num_records
+    W, Wa = cfg.lanes, cfg.aux_lanes
+
+    def dec_bytes(name: str, kind: str = "byte", geom=None,
+                  pos=None, reset=None):
+        es = blk.streams[name]
+        g = geom if geom is not None else cfg.bytes_
+        S = int(es.sym_counts.max()) if es.sym_counts.size else 0
+        return backend.decode_stream(kind, g, es.payload, es.lane_lens,
+                                     es.sym_counts, S, pos=pos, reset=reset)
+
+    # 1. lengths
+    len_syms = dec_bytes("LEN")
+    len_lanes = _from_lane_streams(len_syms, blk.streams["LEN"].sym_counts)
+    lengths = np.zeros(n, dtype=np.int64)
+    prev_len = [0] * Wa
+    lane_pos = [0] * Wa
+    for r in range(n):
+        w = r % Wa
+        d, lane_pos[w] = get_svarint(len_lanes[w], lane_pos[w])
+        lengths[r] = prev_len[w] + d
+        prev_len[w] = int(lengths[r])
+
+    # 2. flags (counts implicit: 3 per record, round-robin over aux lanes)
+    fs = blk.streams["FLAG"]
+    rec_per_lane = (n - np.arange(Wa) + Wa - 1) // Wa
+    fcounts = 3 * rec_per_lane
+    fS = int(fcounts.max()) if fcounts.size else 0
+    fsyms = backend.decode_stream("flag", cfg.flags, fs.payload,
+                                  fs.lane_lens, fcounts, fS)
+    flag_lanes = [fsyms[: fcounts[w], w] for w in range(Wa)]
+
+    # 3. IDs + plus lines
+    idd_syms = dec_bytes("IDD")
+    idx_syms = dec_bytes("IDX")
+    idd_lanes = _from_lane_streams(idd_syms, blk.streams["IDD"].sym_counts)
+    idx_lanes = _from_lane_streams(idx_syms, blk.streams["IDX"].sym_counts)
+    ids: list[bytes] = []
+    pluses: list[bytes] = []
+    dpos = [0] * Wa
+    xpos = [0] * Wa
+    fpos = [0] * Wa
+    for r in range(n):
+        w = r % Wa
+        f_id = int(flag_lanes[w][fpos[w]])
+        f_pp = int(flag_lanes[w][fpos[w] + 1])
+        f_pc = int(flag_lanes[w][fpos[w] + 2])
+        fpos[w] += 3
+        prev_id = ids[r - Wa] if r >= Wa else None
+        rid, dpos[w], xpos[w] = readid.decode_record_id(
+            prev_id, f_id, idd_lanes[w], dpos[w], idx_lanes[w], xpos[w])
+        ids.append(rid)
+        if f_pp:
+            pluses.append(b"+")
+        elif f_pc:
+            pluses.append(b"+" + rid)
+        else:
+            ln, xpos[w] = get_varint(idx_lanes[w], xpos[w])
+            pluses.append(bytes(idx_lanes[w][xpos[w]: xpos[w] + ln]))
+            xpos[w] += ln
+
+    # 4. sequence exceptions -> per-record (pos, char) lists
+    sx_syms = dec_bytes("SEQX")
+    sx_lanes = _from_lane_streams(sx_syms, blk.streams["SEQX"].sym_counts)
+    exc_by_rec: dict[int, list[tuple[int, int]]] = {}
+    for w in range(Wa):
+        buf, p = sx_lanes[w], 0
+        ordinal, bpos = -1, -1
+        while p < len(buf):
+            drec, p = get_varint(buf, p)
+            dpos_, p = get_varint(buf, p)
+            if drec:
+                ordinal += drec
+                bpos = dpos_
+            else:
+                bpos += dpos_
+            ch = buf[p]
+            p += 1
+            exc_by_rec.setdefault(w + ordinal * Wa, []).append((bpos, ch))
+
+    # 5/6. seq + qual lane streams
+    _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
+    ss = blk.streams["SEQ"]
+    seq_syms = backend.decode_stream("seq", cfg.seq, ss.payload, ss.lane_lens,
+                                     scounts, S, pos=pos, reset=reset)
+    qs = blk.streams["QUAL"]
+    from dataclasses import replace
+    qgeom = replace(cfg.qual, depth=blk.qual_depth)
+    qual_syms = backend.decode_stream("qual", qgeom, qs.payload, qs.lane_lens,
+                                      scounts, S, pos=pos, reset=reset)
+
+    seq_rec = _gather_record_symbols(seq_syms, lengths, W)
+    qual_rec = _gather_record_symbols(qual_syms, lengths, W)
+
+    seqs: list[bytes] = []
+    quals: list[bytes] = []
+    for r in range(n):
+        arr = _CODE_TO_BASE[seq_rec[r].astype(np.uint8) & 3].copy()
+        for p, ch in exc_by_rec.get(r, ()):
+            arr[p] = ch
+        seqs.append(arr.tobytes())
+        quals.append((qual_rec[r].astype(np.uint8)
+                      + np.uint8(blk.minq)).tobytes())
+
+    return FastqBatch(ids, seqs, pluses, quals)
