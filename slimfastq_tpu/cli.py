@@ -1,0 +1,126 @@
+"""``sfq`` command-line interface.
+
+Capability parity with slimfastq's CLI (SURVEY.md §2 "Entry / CLI": encode/
+decode mode, compression level 1-4, stdin/stdout mode, force-overwrite,
+version/usage, per-stream stats), wrapping the TPU/JAX runtime.
+
+Usage:
+  sfq [-1|-2|-3|-4] in.fastq [-o out.sfq]        # encode
+  sfq -d in.sfq [-o out.fastq]                   # decode
+  sfq -d in.sfq                                  # decode to stdout
+  cat in.fastq | sfq - -o out.sfq                # stdin encode
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+
+from . import __version__
+from .api import decode_fastq, encode_fastq
+
+
+def _pick_backend(name: str):
+    if name == "oracle":
+        from .ops import streams_np
+        return streams_np
+    from .ops import streams_jax
+    return streams_jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sfq",
+        description="TPU-native lossless FASTQ codec "
+                    "(slimfastq-class compression)")
+    p.add_argument("input", help="input file, or '-' for stdin")
+    p.add_argument("-o", "--output",
+                   help="output file (default: input+'.sfq' on encode, "
+                        "stdout on decode)")
+    p.add_argument("-d", "--decode", action="store_true",
+                   help="decompress instead of compress")
+    for lv in (1, 2, 3, 4):
+        p.add_argument(f"-{lv}", dest="level", action="store_const",
+                       const=lv, help=f"compression level {lv}"
+                       + (" (default)" if lv == 3 else ""))
+    p.add_argument("-f", "--force", action="store_true",
+                   help="overwrite existing output file")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="print per-stream statistics")
+    p.add_argument("--backend", choices=["jax", "oracle"], default="jax",
+                   help="compute backend (default: jax)")
+    p.add_argument("--version", action="version",
+                   version=f"sfq {__version__}")
+    p.set_defaults(level=3)
+    return p
+
+
+def _stats(encoded: bytes, raw_len: int, out=None) -> None:
+    out = out if out is not None else sys.stderr
+    from . import container
+    f = io.BytesIO(encoded)
+    container.read_header(f)
+    totals: dict[str, int] = {}
+    nrec = 0
+    for blk in container.iter_blocks(f):
+        nrec += blk.num_records
+        for name, es in blk.streams.items():
+            totals[name] = totals.get(name, 0) + int(es.lane_lens.sum())
+    print(f"records:         {nrec}", file=out)
+    print(f"raw bytes:       {raw_len}", file=out)
+    print(f"compressed:      {len(encoded)}"
+          f"  (ratio {raw_len / max(len(encoded), 1):.3f})", file=out)
+    for name, b in sorted(totals.items(), key=lambda kv: -kv[1]):
+        print(f"  {name:<6} {b:>12}", file=out)
+    overhead = len(encoded) - sum(totals.values())
+    print(f"  {'(hdrs)':<6} {overhead:>12}", file=out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    backend = _pick_backend(args.backend)
+
+    if args.input == "-":
+        data = sys.stdin.buffer.read()
+    else:
+        if not os.path.exists(args.input):
+            print(f"sfq: {args.input}: no such file", file=sys.stderr)
+            return 2
+        with open(args.input, "rb") as f:
+            data = f.read()
+
+    try:
+        if args.decode:
+            result = decode_fastq(data, backend=backend)
+        else:
+            result = encode_fastq(data, level=args.level, backend=backend)
+    except ValueError as e:
+        print(f"sfq: {e}", file=sys.stderr)
+        return 1
+
+    if args.output:
+        dst = args.output
+    elif args.decode:
+        dst = "-"
+    else:
+        dst = (args.input + ".sfq") if args.input != "-" else "-"
+
+    if dst == "-":
+        sys.stdout.buffer.write(result)
+    else:
+        if os.path.exists(dst) and not args.force:
+            print(f"sfq: {dst} exists (use -f to overwrite)",
+                  file=sys.stderr)
+            return 2
+        with open(dst, "wb") as f:
+            f.write(result)
+
+    if args.verbose and not args.decode:
+        _stats(result, len(data))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,71 @@
+"""CLI behaviour tests (flag semantics mirror slimfastq's entry layer)."""
+
+import subprocess
+import sys
+
+import pytest
+
+from slimfastq_tpu.cli import main
+from slimfastq_tpu.utils.synth import synth_fastq
+
+
+@pytest.fixture()
+def sample(tmp_path):
+    p = tmp_path / "in.fastq"
+    p.write_bytes(synth_fastq(120, read_len=40, seed=0))
+    return p
+
+
+def test_encode_decode_roundtrip(sample, tmp_path, capsys):
+    out = tmp_path / "out.sfq"
+    back = tmp_path / "back.fastq"
+    assert main([str(sample), "-o", str(out), "--backend", "oracle"]) == 0
+    assert main(["-d", str(out), "-o", str(back),
+                 "--backend", "oracle"]) == 0
+    assert back.read_bytes() == sample.read_bytes()
+
+
+def test_default_output_name(sample):
+    assert main([str(sample), "--backend", "oracle"]) == 0
+    assert (sample.parent / "in.fastq.sfq").exists()
+
+
+def test_no_overwrite_without_force(sample, tmp_path):
+    out = tmp_path / "o.sfq"
+    out.write_bytes(b"x")
+    assert main([str(sample), "-o", str(out), "--backend", "oracle"]) == 2
+    assert main([str(sample), "-o", str(out), "-f",
+                 "--backend", "oracle"]) == 0
+
+
+def test_missing_input():
+    assert main(["/nonexistent/file.fastq"]) == 2
+
+
+def test_bad_input_is_error(tmp_path):
+    p = tmp_path / "bad.fastq"
+    p.write_bytes(b"not a fastq\n")
+    assert main([str(p), "-o", str(tmp_path / "x.sfq"),
+                 "--backend", "oracle"]) == 1
+
+
+def test_levels_and_verbose(sample, tmp_path, capsys):
+    out = tmp_path / "l1.sfq"
+    assert main([str(sample), "-1", "-o", str(out), "-v",
+                 "--backend", "oracle"]) == 0
+    err = capsys.readouterr().err
+    assert "ratio" in err and "QUAL" in err
+
+
+def test_stdin_stdout_pipe(sample, tmp_path):
+    """cat in | sfq - | sfq -d - == in (stdout/stdin mode)."""
+    data = sample.read_bytes()
+    enc = subprocess.run(
+        [sys.executable, "-m", "slimfastq_tpu.cli", "-", "-o", "-",
+         "--backend", "oracle"],
+        input=data, capture_output=True, check=True).stdout
+    dec = subprocess.run(
+        [sys.executable, "-m", "slimfastq_tpu.cli", "-d", "-",
+         "--backend", "oracle"],
+        input=enc, capture_output=True, check=True).stdout
+    assert dec == data
