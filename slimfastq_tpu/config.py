@@ -31,8 +31,13 @@ class QualGeom:
         return 1 << (self.depth + self.q2_bits + self.pos_bits)
 
     @property
-    def table_size(self) -> int:
+    def sac_base(self) -> int:
         return self.num_ctx * ((1 << self.depth) - 1)
+
+    @property
+    def table_size(self) -> int:
+        # +1 sacrificial context row for pad-coded lockstep steps
+        return (self.num_ctx + 1) * ((1 << self.depth) - 1)
 
 
 @dataclass(frozen=True)
@@ -55,8 +60,12 @@ class SeqGeom:
         return ((1 << (2 * (self.order + 1))) - 1) // 3
 
     @property
-    def table_size(self) -> int:
+    def sac_base(self) -> int:
         return self.num_ctx * 3
+
+    @property
+    def table_size(self) -> int:
+        return (self.num_ctx + 1) * 3
 
 
 @dataclass(frozen=True)
@@ -72,8 +81,12 @@ class ByteGeom:
         return 256 if self.order else 1
 
     @property
-    def table_size(self) -> int:
+    def sac_base(self) -> int:
         return self.num_ctx * 255
+
+    @property
+    def table_size(self) -> int:
+        return (self.num_ctx + 1) * 255
 
 
 @dataclass(frozen=True)
@@ -89,8 +102,12 @@ class FlagGeom:
         return 1 << self.hist_bits
 
     @property
-    def table_size(self) -> int:
+    def sac_base(self) -> int:
         return self.num_ctx
+
+    @property
+    def table_size(self) -> int:
+        return self.num_ctx + 1
 
 
 @dataclass(frozen=True)
@@ -109,20 +126,22 @@ class CodecConfig:
 
 # Level table: ratio/speed trade-off analogous to slimfastq -1..-4
 # (SURVEY.md §5 "Config / flag system"). Larger level = bigger context
-# tables = better ratio, more HBM.
+# tables = better ratio. Levels 1-3 keep every table VMEM-resident
+# (<= ~4 MB) so the hot loop never touches HBM; level 4 trades speed for
+# maximum context depth.
 LEVELS: dict[int, CodecConfig] = {
     1: CodecConfig(level=1,
                    qual=QualGeom(q2_bits=0, pos_bits=2, pos_shift=5, rate=5),
-                   seq=SeqGeom(order=6, rate=4)),
+                   seq=SeqGeom(order=5, rate=4)),
     2: CodecConfig(level=2,
                    qual=QualGeom(q2_bits=2, pos_bits=3, pos_shift=4, rate=5),
-                   seq=SeqGeom(order=8, rate=4)),
+                   seq=SeqGeom(order=7, rate=4)),
     3: CodecConfig(level=3,
                    qual=QualGeom(q2_bits=3, pos_bits=4, pos_shift=3, rate=5),
-                   seq=SeqGeom(order=10, rate=4)),
+                   seq=SeqGeom(order=9, rate=4)),
     4: CodecConfig(level=4,
-                   qual=QualGeom(q2_bits=6, pos_bits=4, pos_shift=3, rate=5),
-                   seq=SeqGeom(order=12, rate=4)),
+                   qual=QualGeom(q2_bits=4, pos_bits=4, pos_shift=3, rate=5),
+                   seq=SeqGeom(order=11, rate=4)),
 }
 
 

@@ -5,24 +5,26 @@ in tests/test_jax_equivalence.py is the gate. All coder state is
 uint32/int32; no float anywhere (SURVEY.md §7 hard-part (a)).
 
 Performance design (measured on TPU v5e):
-  * Random access is fast only on VMEM-resident data; scatters/gathers into
-    large HBM buffers cost tens of us per step. Therefore the adaptive
-    probability table, coder state, and (on decode) the compressed payload
-    are all loop-carried values small enough for XLA to keep in VMEM, and
-    all indexing is flat 1-D.
+  * Random access is fast only when XLA keeps the data VMEM-resident:
+    the adaptive table (levels 1-3 fit in a few MB), coder state and, on
+    decode, the word-packed payload are all loop-carried values; all
+    indexing is flat 1-D.
+  * The pad-coded lockstep format (ranger_np docstring) removes every
+    per-lane mask from the hot loop: padded steps code through the pinned
+    sacrificial context row, so the kernel is a pure unmasked coder.
   * ENCODE precomputes the entire (table-index, bit) schedule outside the
-    sequential loop: contexts are closed-form functions of shifted symbol
-    arrays (no scan), and the tree-node path for a known symbol is
-    node_j = (1 << j) | (sym >> (depth - j)). The hot loop is then a pure
-    coder: gather p -> range update -> masked renorm -> adaptive update.
-  * Byte emission never scatters to HBM: each chunk of K symbol-steps
-    writes into a small VMEM buffer, chunks are emitted densely as scan
-    outputs, and the host compacts them with one vectorised boolean take
-    (np.compress semantics). A per-chunk capacity check triggers a rare
-    deterministic retry with a worst-case-sized buffer.
-  * DECODE must compute contexts online (they depend on decoded symbols),
-    so it carries the small per-kind context state and gathers bytes from
-    the VMEM-resident payload.
+    sequential loop (contexts are closed-form in shifted symbol arrays;
+    the tree path of a known symbol is node_j = (1 << j) | (sym >> (d-j))),
+    then runs chunks of K symbol-steps, emitting renorm bytes into a small
+    per-chunk buffer sized to the hard worst case (3 bytes/bit-step) —
+    dense scan outputs, no HBM scatter, no overflow path. The host compacts
+    chunks with one vectorised boolean take.
+  * WARNING — compile cliff: the Mosaic/XLA TPU backend compiles this exact
+    program shape to a fast executable (~0.1 us/symbol-step at W=512);
+    semantically equivalent rewrites (e.g. `bits[i] != 0` instead of
+    `bits[i] == 1`, nested scan-output tuples) have been observed to
+    compile 100-300x slower AND run ~1000x slower. Keep the kernel bodies
+    in this statement order unless you re-benchmark on TPU.
 """
 
 from __future__ import annotations
@@ -38,30 +40,24 @@ from . import ranger_np as R
 U32 = jnp.uint32
 I32 = jnp.int32
 
-TOP = np.uint32(R.TOP)
-BOT = np.uint32(R.BOT)
+TOP_C = 1 << 24
+BOT_C = 1 << 16
 PROB_BITS = R.PROB_BITS
 PROB_ONE = R.PROB_ONE
 PROB_MIN = R.PROB_MIN
 PROB_MAX = R.PROB_MAX
-MASK32 = np.uint32(0xFFFFFFFF)
 
-# lockstep step-counts padded to buckets to bound jit recompilation
-_STEP_BUCKET = 256
-# symbol-steps per emission chunk and optimistic bytes/lane/chunk;
-# hard bound is 3 bytes per bit-step (32-bit state, 8-bit renorm)
-_CHUNK_SYMS = 8
-
-
-def _pad_steps(S: int) -> int:
-    if S <= 0:
-        return 0
-    return ((S + _STEP_BUCKET - 1) // _STEP_BUCKET) * _STEP_BUCKET
+_CHUNK_SYMS = 8  # symbol-steps per emission chunk (must divide STEP_BUCKET)
 
 
 def _chunk_bytes(depth: int, hard: bool) -> int:
+    """Per-lane emission capacity for one chunk. The hard bound is 3 bytes
+    per bit-step (32-bit state, 8-bit renorm); the optimistic bound
+    (~1 byte/bit-step + slack) is almost never exceeded — the driver
+    detects overflow on-device and retries with the hard build."""
     bits = _CHUNK_SYMS * depth
-    return 3 * bits + 8 if hard else max(64, bits + 16)
+    b = (3 * bits + 8) if hard else (bits + 16)
+    return (b + 15) // 16 * 16
 
 
 # ---------------------------------------------------------------------------
@@ -84,10 +80,10 @@ def _seq_offsets(k: int) -> np.ndarray:
 def _ctx_precompute(kind: str, geom, syms, pos, reset):
     """Closed-form [T, W] context streams for the ENCODE path. Must equal
     the oracle's carried-state contexts at every active step."""
-    rs = reset.astype(bool)
+    rs = reset == U32(1)
     if kind == "qual":
         a = jnp.where(rs, U32(0), _shift_t(syms, 1))
-        b = jnp.where(rs | _shift_t(reset, 1).astype(bool), U32(0),
+        b = jnp.where(rs | (_shift_t(reset, 1) == U32(1)), U32(0),
                       _shift_t(syms, 2))
         ctx = a
         shift = geom.depth
@@ -127,7 +123,7 @@ def _ctx_init(kind: str, W: int):
 
 def _ctx_step(kind: str, geom, cst, pos_t, reset_t):
     """Online (decode) context: mirrors streams_np step_ctx exactly."""
-    rs = reset_t.astype(bool)
+    rs = reset_t == U32(1)
     if kind == "qual":
         a, b = cst
         a = jnp.where(rs, U32(0), a)
@@ -175,127 +171,130 @@ def _ctx_advance(kind: str, geom, cst, sym):
 
 
 # ---------------------------------------------------------------------------
-# adaptive table law (identical to ranger_np.table_update)
-# ---------------------------------------------------------------------------
-
-def _table_step(table, idx, bit_b, active, rate):
-    """Gather p, then apply the batch-synchronous update. Values stay in
-    [PROB_MIN, PROB_MAX] so untouched-entry clamping is a no-op and no dump
-    routing is needed."""
-    p = jnp.clip(table[idx], PROB_MIN, PROB_MAX).astype(U32)
-    p32 = p.astype(I32)
-    delta = jnp.where(bit_b, -(p32 >> rate), (I32(PROB_ONE) - p32) >> rate)
-    delta = jnp.where(active, delta, I32(0))
-    table = table.at[idx].add(delta)
-    v = table[idx]
-    table = table.at[idx].set(jnp.clip(v, PROB_MIN, PROB_MAX))
-    return p, table
-
-
-# ---------------------------------------------------------------------------
-# encode
+# encode: schedule precompute (one jit) + proto-shaped coder (another jit)
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _build_encode(kind: str, geom, S: int, W: int, hard: bool):
-    depth, rate = geom.depth, geom.rate
-    tsize = geom.table_size
-    CB = _chunk_bytes(depth, hard)
+def _build_schedule(kind: str, geom, Sp: int, W: int):
+    depth = geom.depth
+    num_ctx = geom.num_ctx
     KD = _CHUNK_SYMS * depth
-    NC = S // _CHUNK_SYMS
-    lane_off = jnp.arange(W, dtype=I32) * CB
-    DUMP = W * CB
-
-    def chunk(carry, xs):
-        low, rng, table = carry
-        idxs, bits, acts = xs
-        ebuf = jnp.zeros(W * CB + 1, I32)
-        eptr = jnp.zeros(W, I32)
-
-        def bitstep(i, st):
-            low, rng, table, ebuf, eptr = st
-            idx = idxs[i]
-            bit_b = bits[i] != 0
-            active = acts[i]
-            p, table = _table_step(table, idx, bit_b, active, rate)
-            split = (rng >> U32(PROB_BITS)) * p
-            is1 = bit_b & active
-            is0 = (~bit_b) & active
-            low = jnp.where(is1, low + split, low)
-            rng = jnp.where(is1, rng - split, jnp.where(is0, split, rng))
-            for _ in range(R.RENORM_ITERS):
-                agree = ((low ^ (low + rng)) & MASK32) < TOP
-                under = rng < BOT
-                do = active & (agree | under)
-                clampc = do & ~agree
-                rng = jnp.where(clampc, (U32(0) - low) & U32(BOT - 1), rng)
-                byte = (low >> U32(24)).astype(I32)
-                tgt = jnp.where(do & (eptr < CB), lane_off + eptr, DUMP)
-                ebuf = ebuf.at[tgt].set(byte)
-                eptr = eptr + do.astype(I32)
-                low = jnp.where(do, low << U32(8), low)
-                rng = jnp.where(do, rng << U32(8), rng)
-            return (low, rng, table, ebuf, eptr)
-
-        low, rng, table, ebuf, eptr = jax.lax.fori_loop(
-            0, KD, bitstep, (low, rng, table, ebuf, eptr))
-        return ((low, rng, table),
-                (ebuf[:-1].astype(jnp.uint8).reshape(W, CB), eptr))
+    NC = Sp // _CHUNK_SYMS
 
     @jax.jit
-    def run(syms, actives, poss, resets):
-        # -- schedule precompute (vectorised, outside the sequential loop)
-        ctx = _ctx_precompute(kind, geom, syms, poss, resets).astype(I32)
+    def run(syms, poss, resets, counts):
+        steps = jax.lax.broadcasted_iota(I32, (Sp, W), 0)
+        active = steps < counts[None, :].astype(I32)
+        ctx = _ctx_precompute(kind, geom, syms, poss, resets)
+        ctx = jnp.where(active, ctx, U32(num_ctx)).astype(I32)
+        sym = jnp.where(active, syms, U32(0))
         nodes = (1 << depth) - 1
         base = ctx * I32(nodes)
         idx_list, bit_list = [], []
         for j in range(depth):
-            node = I32(1 << j) | (syms >> U32(depth - j)).astype(I32)
+            node = I32(1 << j) | (sym >> U32(depth - j)).astype(I32)
             idx_list.append(base + node - 1)
-            bit_list.append(((syms >> U32(depth - 1 - j)) & U32(1))
-                            .astype(jnp.uint8))
-        # [T, depth, W] -> [NC, K*depth, W]
+            bit_list.append(((sym >> U32(depth - 1 - j)) & U32(1))
+                            .astype(I32))
         idx_all = jnp.stack(idx_list, axis=1).reshape(NC, KD, W)
         bit_all = jnp.stack(bit_list, axis=1).reshape(NC, KD, W)
-        act_all = jnp.repeat(actives, depth, axis=0).reshape(NC, KD, W)
-
-        low = jnp.zeros(W, U32)
-        rng = jnp.full(W, 0xFFFFFFFF, U32)
-        table = jnp.full(tsize, R.PROB_INIT, I32)
-        (low, rng, table), (ebufs, eptrs) = jax.lax.scan(
-            chunk, (low, rng, table), (idx_all, bit_all, act_all))
-        return ebufs, eptrs, low
+        return idx_all, bit_all
 
     return run
 
 
-def _compact_host(ebufs, eptrs, low, counts, depth, hard):
-    """Host-side compaction: dense chunk buffers -> per-lane byte streams,
-    then append the 4 flush bytes per active lane."""
-    NC, W, CB = ebufs.shape
-    over = eptrs.max(initial=0) > CB
-    if over:
-        return None, None  # caller retries with hard buffers
-    # [W, NC, CB] boolean take preserves (lane, chunk, pos) order
-    bufs = np.ascontiguousarray(ebufs.transpose(1, 0, 2))
+@functools.lru_cache(maxsize=256)
+def _build_encode(kind: str, geom, Sp: int, W: int, hard: bool):
+    # NOTE: keep this function in the exact proto shape — see module
+    # docstring "compile cliff".
+    depth, rate = geom.depth, geom.rate
+    tsize = geom.table_size
+    sac_base = geom.sac_base
+    CB = _chunk_bytes(depth, hard)
+    KD = _CHUNK_SYMS * depth
+    lane_off_np = np.arange(W, dtype=np.int32) * CB
+
+    @jax.jit
+    def run(idx_c, bit_c):
+        table = jnp.full(tsize, R.PROB_INIT, I32)
+        table = table.at[sac_base:].set(I32(PROB_MAX))
+        low = jnp.zeros(W, U32)
+        rngs = jnp.full(W, 0xFFFFFFFF, U32)
+        loff = jnp.asarray(lane_off_np)
+
+        def chunk(carry, xs):
+            low, rngs, table = carry
+            idxs, bits = xs
+            ebuf = jnp.zeros(W * CB + 1, I32)
+            eptr = jnp.zeros(W, I32)
+
+            def bitstep(i, st):
+                low, rngs, table, ebuf, eptr = st
+                idx = idxs[i]
+                bit = bits[i]
+                p = jnp.clip(table[idx], PROB_MIN, PROB_MAX).astype(U32)
+                split = (rngs >> U32(PROB_BITS)) * p
+                is1 = bit == 1
+                low = jnp.where(is1, low + split, low)
+                rngs = jnp.where(is1, rngs - split, split)
+                for _ in range(R.RENORM_ITERS):
+                    agree = ((low ^ (low + rngs)) & U32(0xFFFFFFFF)) \
+                        < U32(TOP_C)
+                    under = rngs < U32(BOT_C)
+                    do = agree | under
+                    clamp = do & ~agree
+                    rngs = jnp.where(clamp, (U32(0) - low) & U32(0xFFFF),
+                                     rngs)
+                    byte = (low >> U32(24)).astype(I32)
+                    tgt = jnp.where(do & (eptr < CB), loff + eptr, W * CB)
+                    ebuf = ebuf.at[tgt].set(byte)
+                    eptr = eptr + do.astype(I32)
+                    low = jnp.where(do, low << U32(8), low)
+                    rngs = jnp.where(do, rngs << U32(8), rngs)
+                p32 = p.astype(I32)
+                delta = jnp.where(is1, -(p32 >> rate),
+                                  (I32(PROB_ONE) - p32) >> rate)
+                delta = jnp.where(idx < sac_base, delta, I32(0))
+                table = table.at[idx].add(delta)
+                v = table[idx]
+                table = table.at[idx].set(jnp.clip(v, PROB_MIN, PROB_MAX))
+                return (low, rngs, table, ebuf, eptr)
+
+            low, rngs, table, ebuf, eptr = jax.lax.fori_loop(
+                0, KD, bitstep, (low, rngs, table, ebuf, eptr))
+            return (low, rngs, table), (ebuf[:-1], eptr)
+
+        (low, rngs, table), (ebufs, eptrs) = jax.lax.scan(
+            chunk, (low, rngs, table), (idx_c, bit_c))
+        # single whole-array cast: transfer u8, not i32 (4x less d2h)
+        return ebufs.astype(jnp.uint8), eptrs, low, eptrs.max()
+
+    return run
+
+
+def _compact_host(ebufs, eptrs, low, counts, CB):
+    """Host compaction: dense chunk buffers -> per-lane byte streams, then
+    the 4 flush bytes; lanes with zero symbols contribute nothing."""
+    NC, W = eptrs.shape
+    bufs = ebufs.reshape(NC, W, CB).transpose(1, 0, 2)
     ptrs = eptrs.T  # [W, NC]
     mask = np.arange(CB)[None, None, :] < ptrs[:, :, None]
-    flat = bufs[mask]
+    flat = np.ascontiguousarray(bufs)[mask]
     per_lane = mask.sum(axis=(1, 2))
-    act = counts > 0
-    lens = per_lane + np.where(act, R.FLUSH_BYTES, 0)
+    act = np.asarray(counts) > 0
+    lens = np.where(act, per_lane + R.FLUSH_BYTES, 0)
     maxlen = int(lens.max()) if lens.size else 0
     payload = np.zeros((W, maxlen), dtype=np.uint8)
     off = 0
     lowh = np.asarray(low).astype(np.uint64)
     for w in range(W):
         n = int(per_lane[w])
-        payload[w, :n] = flat[off: off + n]
-        off += n
         if act[w]:
+            payload[w, :n] = flat[off: off + n]
             lw = int(lowh[w])
             for j in range(R.FLUSH_BYTES):
                 payload[w, n + j] = (lw >> (24 - 8 * j)) & 0xFF
+        off += n
     return payload, lens.astype(np.int64)
 
 
@@ -304,76 +303,105 @@ def _compact_host(ebufs, eptrs, low, counts, depth, hard):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _build_decode(kind: str, geom, S: int, W: int, Lmax: int):
+def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
+    """Lw: payload words (uint32) per lane."""
     depth, rate = geom.depth, geom.rate
     tsize = geom.table_size
-    lane_off = jnp.arange(W, dtype=I32) * Lmax
-
-    def read_bytes(buf, lens, ptr, do):
-        idx = lane_off + jnp.minimum(ptr, I32(Lmax - 1))
-        nxt = buf[idx].astype(U32)
-        nxt = jnp.where((ptr < lens) & do, nxt, U32(0))
-        return nxt, ptr + do.astype(I32)
-
-    def step(carry, xs):
-        low, rng, code, ptr, table, cst, buf, lens = carry
-        active, pos_t, reset_t = xs
-        ctx, cst = _ctx_step(kind, geom, cst, pos_t, reset_t)
-        nodes = (1 << depth) - 1
-        base = ctx.astype(I32) * I32(nodes)
-        node = jnp.ones(W, dtype=I32)
-        sym = jnp.zeros(W, U32)
-        for _ in range(depth):
-            idx = base + node - 1
-            p = jnp.clip(table[idx], PROB_MIN, PROB_MAX).astype(U32)
-            split = (rng >> U32(PROB_BITS)) * p
-            diff = (code - low) & MASK32
-            bit = jnp.where(active, (diff >= split).astype(U32), U32(0))
-            bit_b = bit != 0
-            is1 = bit_b & active
-            is0 = (~bit_b) & active
-            low = jnp.where(is1, low + split, low)
-            rng = jnp.where(is1, rng - split, jnp.where(is0, split, rng))
-            for _ in range(R.RENORM_ITERS):
-                agree = ((low ^ (low + rng)) & MASK32) < TOP
-                under = rng < BOT
-                do = active & (agree | under)
-                clampc = do & ~agree
-                rng = jnp.where(clampc, (U32(0) - low) & U32(BOT - 1), rng)
-                nxt, ptr = read_bytes(buf, lens, ptr, do)
-                code = jnp.where(do, ((code << U32(8)) | nxt) & MASK32, code)
-                low = jnp.where(do, low << U32(8), low)
-                rng = jnp.where(do, rng << U32(8), rng)
-            p32 = p.astype(I32)
-            delta = jnp.where(bit_b, -(p32 >> rate),
-                              (I32(PROB_ONE) - p32) >> rate)
-            delta = jnp.where(active, delta, I32(0))
-            table = table.at[idx].add(delta)
-            v = table[idx]
-            table = table.at[idx].set(jnp.clip(v, PROB_MIN, PROB_MAX))
-            node = 2 * node + bit.astype(I32)
-            sym = (sym << U32(1)) | bit
-        sym = jnp.where(active, sym, U32(0))
-        cst = _ctx_advance(kind, geom, cst, sym)
-        return (low, rng, code, ptr, table, cst, buf, lens), sym
+    sac_base = geom.sac_base
+    num_ctx = geom.num_ctx
+    K = _CHUNK_SYMS
+    NC = Sp // K
+    word_off_np = np.arange(W, dtype=np.int32) * Lw
 
     @jax.jit
-    def run(payload, lens, actives, poss, resets):
-        buf = payload.reshape(-1)
-        lens32 = lens.astype(I32)
+    def run(paywords, lens, acts, poss, resets):
+        # acts/poss/resets: [NC, K, W]. paywords/lens travel in the scan
+        # carry: values gathered inside the hot loop MUST be loop-carried so
+        # XLA keeps them VMEM-resident (see module docstring).
+        table = jnp.full(tsize, R.PROB_INIT, I32)
+        table = table.at[sac_base:].set(I32(PROB_MAX))
+        woff = jnp.asarray(word_off_np)
+        lens0 = lens.astype(I32)
         low = jnp.zeros(W, U32)
-        rng = jnp.full(W, 0xFFFFFFFF, U32)
+        rngs = jnp.full(W, 0xFFFFFFFF, U32)
         ptr = jnp.zeros(W, I32)
         code = jnp.zeros(W, U32)
+
+        def read_bytes(words, lens32, ptr, do):
+            wi = woff + jnp.minimum(ptr >> 2, I32(Lw - 1))
+            word = words[wi]
+            nxt = (word >> (U32(8) * (ptr.astype(U32) & U32(3)))) & U32(255)
+            nxt = jnp.where((ptr < lens32) & do, nxt, U32(0))
+            return nxt, ptr + do.astype(I32)
+
         ones = jnp.ones(W, bool)
         for _ in range(4):
-            nxt, ptr = read_bytes(buf, lens32, ptr, ones)
+            nxt, ptr = read_bytes(paywords, lens0, ptr, ones)
             code = (code << U32(8)) | nxt
-        table = jnp.full(tsize, R.PROB_INIT, I32)
-        cst = _ctx_init(kind, W)
-        carry = (low, rng, code, ptr, table, cst, buf, lens32)
-        carry, syms = jax.lax.scan(step, carry, (actives, poss, resets))
-        return syms
+
+        cst0 = _ctx_init(kind, W)
+
+        def chunk(carry, xs):
+            low, rngs, code, ptr, table, cst, words, lens32 = carry
+            acts_c, poss_c, resets_c = xs
+            sbuf = jnp.zeros((K, W), U32)
+
+            def symstep(i, st):
+                low, rngs, code, ptr, table, cst, sbuf, words, lens32 = st
+                act = acts_c[i] == 1
+                ctx, cst = _ctx_step(kind, geom, cst, poss_c[i], resets_c[i])
+                ctx = jnp.where(act, ctx, U32(num_ctx))
+                nodes = (1 << depth) - 1
+                base = ctx.astype(I32) * I32(nodes)
+                node = jnp.ones(W, I32)
+                sym = jnp.zeros(W, U32)
+                for _ in range(depth):
+                    idx = base + node - 1
+                    p = jnp.clip(table[idx], PROB_MIN, PROB_MAX).astype(U32)
+                    split = (rngs >> U32(PROB_BITS)) * p
+                    diff = (code - low) & U32(0xFFFFFFFF)
+                    bit = (diff >= split).astype(I32)
+                    is1 = bit == 1
+                    low = jnp.where(is1, low + split, low)
+                    rngs = jnp.where(is1, rngs - split, split)
+                    for _ in range(R.RENORM_ITERS):
+                        agree = ((low ^ (low + rngs)) & U32(0xFFFFFFFF)) \
+                            < U32(TOP_C)
+                        under = rngs < U32(BOT_C)
+                        do = agree | under
+                        clamp = do & ~agree
+                        rngs = jnp.where(clamp,
+                                         (U32(0) - low) & U32(0xFFFF), rngs)
+                        nxt, ptr = read_bytes(words, lens32, ptr, do)
+                        code = jnp.where(do, (code << U32(8)) | nxt, code)
+                        low = jnp.where(do, low << U32(8), low)
+                        rngs = jnp.where(do, rngs << U32(8), rngs)
+                    p32 = p.astype(I32)
+                    delta = jnp.where(is1, -(p32 >> rate),
+                                      (I32(PROB_ONE) - p32) >> rate)
+                    delta = jnp.where(idx < sac_base, delta, I32(0))
+                    table = table.at[idx].add(delta)
+                    v = table[idx]
+                    table = table.at[idx].set(
+                        jnp.clip(v, PROB_MIN, PROB_MAX))
+                    node = 2 * node + bit
+                    sym = (sym << U32(1)) | bit.astype(U32)
+                sym = jnp.where(act, sym, U32(0))
+                cst = _ctx_advance(kind, geom, cst, sym)
+                sbuf = jax.lax.dynamic_update_slice(sbuf, sym[None, :],
+                                                    (i, 0))
+                return (low, rngs, code, ptr, table, cst, sbuf, words,
+                        lens32)
+
+            (low, rngs, code, ptr, table, cst, sbuf, words,
+             lens32) = jax.lax.fori_loop(
+                0, K, symstep,
+                (low, rngs, code, ptr, table, cst, sbuf, words, lens32))
+            return (low, rngs, code, ptr, table, cst, words, lens32), sbuf
+
+        carry = (low, rngs, code, ptr, table, cst0, paywords, lens0)
+        carry, sbufs = jax.lax.scan(chunk, carry, (acts, poss, resets))
+        return sbufs.reshape(Sp, W)
 
     return run
 
@@ -382,37 +410,33 @@ def _build_decode(kind: str, geom, S: int, W: int, Lmax: int):
 # public drivers (streams_np-compatible)
 # ---------------------------------------------------------------------------
 
-def _prep(S, W, counts, pos, reset, syms=None):
-    Sp = _pad_steps(S)
-    actives = (np.arange(Sp)[:, None] < np.asarray(counts)[None, :])
-    z = np.zeros((Sp, W), dtype=np.uint32)
-
-    def padded(x):
-        if x is None:
-            return z
-        out = np.zeros((Sp, W), dtype=np.uint32)
+def _pad2(x, Sp, W):
+    out = np.zeros((Sp, W), dtype=np.uint32)
+    if x is not None and x.shape[0]:
         out[: x.shape[0]] = x
-        return out
-
-    return Sp, actives, padded(pos), padded(reset), padded(syms)
+    return out
 
 
 def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
                   pos: np.ndarray | None = None,
                   reset: np.ndarray | None = None):
     S, W = syms.shape
-    if S == 0 or not (np.asarray(counts) > 0).any():
+    counts = np.asarray(counts)
+    Sp = R.pad_steps(S)
+    if Sp == 0 or not (counts > 0).any():
         return np.zeros((W, 0), dtype=np.uint8), np.zeros(W, dtype=np.int64)
-    Sp, actives, posp, resetp, symsp = _prep(S, W, counts, pos, reset, syms)
+    sched = _build_schedule(kind, geom, Sp, W)
+    idx_c, bit_c = sched(jnp.asarray(_pad2(syms, Sp, W)),
+                         jnp.asarray(_pad2(pos, Sp, W)),
+                         jnp.asarray(_pad2(reset, Sp, W)),
+                         jnp.asarray(counts.astype(np.int32)))
     for hard in (False, True):
         run = _build_encode(kind, geom, Sp, W, hard)
-        ebufs, eptrs, low = run(jnp.asarray(symsp), jnp.asarray(actives),
-                                jnp.asarray(posp), jnp.asarray(resetp))
-        payload, lens = _compact_host(np.asarray(ebufs), np.asarray(eptrs),
-                                      np.asarray(low), np.asarray(counts),
-                                      geom.depth, hard)
-        if payload is not None:
-            return payload, lens
+        ebufs, eptrs, low, emax = run(idx_c, bit_c)
+        CB = _chunk_bytes(geom.depth, hard)
+        if int(emax) <= CB:
+            return _compact_host(np.asarray(ebufs), np.asarray(eptrs),
+                                 np.asarray(low), counts, CB)
     raise AssertionError("encode chunk overflow even with hard buffers")
 
 
@@ -421,14 +445,27 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
                   pos: np.ndarray | None = None,
                   reset: np.ndarray | None = None) -> np.ndarray:
     W = payload.shape[0]
-    if num_steps == 0 or not (np.asarray(counts) > 0).any():
-        return np.zeros((num_steps, W), dtype=np.uint32)
-    Sp, actives, posp, resetp, _ = _prep(num_steps, W, counts, pos, reset)
-    Lmax = max(int(payload.shape[1]), 1)
-    Lmax = ((Lmax + 2047) // 2048) * 2048
-    pay = np.zeros((W, Lmax), dtype=np.uint8)
+    counts = np.asarray(counts)
+    S = num_steps
+    Sp = R.pad_steps(S)
+    if Sp == 0 or not (counts > 0).any():
+        return np.zeros((S, W), dtype=np.uint32)
+    # word-pack the payload (little-endian) and bucket its width
+    Lb = max(int(payload.shape[1]), 1)
+    Lb = ((Lb + 2047) // 2048) * 2048
+    pay = np.zeros((W, Lb), dtype=np.uint8)
     pay[:, : payload.shape[1]] = payload
-    run = _build_decode(kind, geom, Sp, W, Lmax)
-    syms = run(jnp.asarray(pay), jnp.asarray(np.asarray(lens)),
-               jnp.asarray(actives), jnp.asarray(posp), jnp.asarray(resetp))
-    return np.asarray(syms)[:num_steps].astype(np.uint32)
+    Lw = Lb // 4
+    words = pay.view("<u4").reshape(W * Lw)
+    K = _CHUNK_SYMS
+    NC = Sp // K
+    steps = np.arange(Sp)[:, None]
+    acts = (steps < counts[None, :]).astype(np.int32).reshape(NC, K, W)
+    poss = _pad2(pos, Sp, W).reshape(NC, K, W)
+    resets = _pad2(reset, Sp, W).reshape(NC, K, W)
+    run = _build_decode(kind, geom, Sp, W, Lw)
+    syms = run(jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
+               jnp.asarray(acts), jnp.asarray(poss), jnp.asarray(resets))
+    out = np.asarray(syms)[:S].astype(np.uint32)
+    mask = np.arange(S)[:, None] < counts[None, :]
+    return np.where(mask, out, np.uint32(0))

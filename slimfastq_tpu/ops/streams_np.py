@@ -100,32 +100,40 @@ _CTX = {"qual": QualCtx, "seq": SeqCtx, "byte": ByteCtx, "flag": FlagCtx}
 
 
 def _geom_fields(geom):
-    return geom.depth, geom.rate, geom.table_size
+    return geom.depth, geom.rate, geom.table_size, geom.sac_base, geom.num_ctx
 
 
 def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
                   pos: np.ndarray | None = None,
                   reset: np.ndarray | None = None):
-    """Encode [S, W] symbols. Returns (payload uint8[W, maxlen], lens[W])."""
+    """Encode [S, W] symbols. Returns (payload uint8[W, maxlen], lens[W]).
+
+    Pad-coded lockstep format: all lanes code pad_steps(S) steps; steps
+    beyond a lane's own count code symbol 0 in the sacrificial context.
+    Lanes with zero symbols contribute no bytes.
+    """
     S, W = syms.shape
-    depth, rate, tsize = _geom_fields(geom)
-    table = R.table_init(tsize)
-    enc = R.LaneEncoder(W, R.worst_case_bytes(S * depth))
+    depth, rate, tsize, sac_base, num_ctx = _geom_fields(geom)
+    Sp = R.pad_steps(S)
+    counts = np.asarray(counts)
+    table = R.table_init(tsize, sac_base)
+    enc = R.LaneEncoder(W, R.worst_case_bytes(Sp * depth))
     ctxer = _CTX[kind](geom, W)
     z = np.zeros(W, dtype=U32)
-    for t in range(S):
+    for t in range(Sp):
         active = counts > t
-        if not active.any():
-            break
-        p_t = pos[t] if pos is not None else z
-        r_t = reset[t] if reset is not None else z
+        p_t = pos[t] if pos is not None and t < S else z
+        r_t = reset[t] if reset is not None and t < S else z
         ctx = ctxer.step_ctx(t, p_t, r_t)
-        R.encode_symbols(enc, table, ctx, syms[t].astype(U32), active,
-                         depth, rate)
-        ctxer.advance(np.where(active, syms[t].astype(U32), U32(0)))
-    enc.flush(active=counts > 0)
-    maxlen = int(enc.ptr.max()) if enc.ptr.size else 0
-    return enc.out[:, :maxlen].copy(), enc.ptr.copy()
+        ctx = np.where(active, ctx, U32(num_ctx))
+        sym = (np.where(active, syms[t], 0).astype(U32)
+               if t < S else z)
+        R.encode_symbols(enc, table, ctx, sym, depth, rate, sac_base)
+        ctxer.advance(sym)
+    enc.flush()
+    lens = np.where(counts > 0, enc.ptr, 0).astype(np.int64)
+    maxlen = int(lens.max()) if lens.size else 0
+    return enc.out[:, :maxlen].copy(), lens
 
 
 def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
@@ -134,21 +142,25 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
                   reset: np.ndarray | None = None) -> np.ndarray:
     """Decode back to uint32[S, W] symbols (0 where inactive)."""
     W = payload.shape[0]
-    depth, rate, tsize = _geom_fields(geom)
-    table = R.table_init(tsize)
+    depth, rate, tsize, sac_base, num_ctx = _geom_fields(geom)
+    S = num_steps
+    Sp = R.pad_steps(S)
+    counts = np.asarray(counts)
+    table = R.table_init(tsize, sac_base)
     dec = R.LaneDecoder(payload, lens)
     ctxer = _CTX[kind](geom, W)
-    out = np.zeros((num_steps, W), dtype=U32)
+    out = np.zeros((S, W), dtype=U32)
     z = np.zeros(W, dtype=U32)
-    for t in range(num_steps):
+    for t in range(Sp):
         active = counts > t
-        if not active.any():
-            break
-        p_t = pos[t] if pos is not None else z
-        r_t = reset[t] if reset is not None else z
+        p_t = pos[t] if pos is not None and t < S else z
+        r_t = reset[t] if reset is not None and t < S else z
         ctx = ctxer.step_ctx(t, p_t, r_t)
-        sym = R.decode_symbols(dec, table, ctx, active, depth, rate)
-        out[t] = sym
+        ctx = np.where(active, ctx, U32(num_ctx))
+        sym = R.decode_symbols(dec, table, ctx, depth, rate, sac_base)
+        sym = np.where(active, sym, U32(0))
+        if t < S:
+            out[t] = sym
         ctxer.advance(sym)
     return out
 

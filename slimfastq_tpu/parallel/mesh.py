@@ -41,33 +41,40 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 @functools.lru_cache(maxsize=64)
-def _build_sharded_encode(kind: str, geom, S: int, W: int, Bmax: int,
+def _build_sharded_encode(kind: str, geom, S: int, W: int, hard: bool,
                           mesh: Mesh):
-    run = streams_jax._build_encode(kind, geom, S, W, Bmax)
-    vrun = jax.vmap(run)
+    sched = streams_jax._build_schedule(kind, geom, S, W)
+    run = streams_jax._build_encode(kind, geom, S, W, hard)
+
+    def one_block(syms, poss, resets, counts):
+        idx_c, bit_c = sched(syms, poss, resets, counts)
+        return run(idx_c, bit_c)
+
+    vrun = jax.vmap(one_block)
 
     @jax.jit
-    def sharded(syms, actives, poss, resets):
+    def sharded(syms, poss, resets, counts):
         spec = NamedSharding(mesh, P("blocks"))
         syms = jax.lax.with_sharding_constraint(syms, spec)
-        out, ptr = vrun(syms, actives, poss, resets)
-        return (jax.lax.with_sharding_constraint(out, spec),
-                jax.lax.with_sharding_constraint(ptr, spec))
+        ebufs, eptrs, low, emax = vrun(syms, poss, resets, counts)
+        return (jax.lax.with_sharding_constraint(ebufs, spec),
+                jax.lax.with_sharding_constraint(eptrs, spec),
+                low, emax)
 
     return sharded
 
 
 @functools.lru_cache(maxsize=64)
-def _build_sharded_decode(kind: str, geom, S: int, W: int, Lmax: int,
+def _build_sharded_decode(kind: str, geom, S: int, W: int, Lw: int,
                           mesh: Mesh):
-    run = streams_jax._build_decode(kind, geom, S, W, Lmax)
+    run = streams_jax._build_decode(kind, geom, S, W, Lw)
     vrun = jax.vmap(run)
 
     @jax.jit
-    def sharded(payload, lens, actives, poss, resets):
+    def sharded(paywords, lens, acts, poss, resets):
         spec = NamedSharding(mesh, P("blocks"))
-        payload = jax.lax.with_sharding_constraint(payload, spec)
-        syms = vrun(payload, lens, actives, poss, resets)
+        paywords = jax.lax.with_sharding_constraint(paywords, spec)
+        syms = vrun(paywords, lens, acts, poss, resets)
         return jax.lax.with_sharding_constraint(syms, spec)
 
     return sharded
@@ -94,19 +101,19 @@ def encode_stream_blocks(kind: str, geom, mesh: Mesh,
         return []
     W = syms_list[0].shape[1]
     S = max((s.shape[0] for s in syms_list), default=0)
-    Sp = streams_jax._pad_steps(max(S, 1))
+    Sp = R.pad_steps(max(S, 1))
     nd = mesh.devices.size
     pad = _pad_blocks(syms_list, nd)
     Bp = B + pad
 
     syms = np.zeros((Bp, Sp, W), dtype=np.uint32)
-    actives = np.zeros((Bp, Sp, W), dtype=bool)
+    counts = np.zeros((Bp, W), dtype=np.int32)
     poss = np.zeros((Bp, Sp, W), dtype=np.uint32)
     resets = np.zeros((Bp, Sp, W), dtype=np.uint32)
     for b in range(B):
         s = syms_list[b]
         syms[b, : s.shape[0]] = s
-        actives[b] = np.arange(Sp)[:, None] < counts_list[b][None, :]
+        counts[b] = counts_list[b]
         if pos_list is not None and pos_list[b] is not None:
             p = pos_list[b]
             poss[b, : p.shape[0]] = p
@@ -114,18 +121,24 @@ def encode_stream_blocks(kind: str, geom, mesh: Mesh,
             r = reset_list[b]
             resets[b, : r.shape[0]] = r
 
-    Bmax = R.worst_case_bytes(Sp * geom.depth)
-    fn = _build_sharded_encode(kind, geom, Sp, W, Bmax, mesh)
-    out, ptr = fn(jnp.asarray(syms), jnp.asarray(actives),
-                  jnp.asarray(poss), jnp.asarray(resets))
-    out = np.asarray(out)
-    ptr = np.asarray(ptr).astype(np.int64)
-    results = []
-    for b in range(B):
-        lens = ptr[b]
-        maxlen = int(lens.max()) if lens.size else 0
-        results.append((out[b, :, :maxlen].copy(), lens))
-    return results
+    results = None
+    for hard in (False, True):
+        fn = _build_sharded_encode(kind, geom, Sp, W, hard, mesh)
+        ebufs, eptrs, low, emax = fn(jnp.asarray(syms), jnp.asarray(poss),
+                                     jnp.asarray(resets),
+                                     jnp.asarray(counts))
+        CB = streams_jax._chunk_bytes(geom.depth, hard)
+        if int(np.asarray(emax).max()) <= CB:
+            ebufs = np.asarray(ebufs)
+            eptrs = np.asarray(eptrs)
+            low = np.asarray(low)
+            results = []
+            for b in range(B):
+                payload, lens = streams_jax._compact_host(
+                    ebufs[b], eptrs[b], low[b], counts_list[b], CB)
+                results.append((payload, lens))
+            return results
+    raise AssertionError("encode chunk overflow even with hard buffers")
 
 
 def decode_stream_blocks(kind: str, geom, mesh: Mesh,
@@ -137,23 +150,28 @@ def decode_stream_blocks(kind: str, geom, mesh: Mesh,
         return []
     W = payload_list[0].shape[0]
     S = max(steps_list)
-    Sp = streams_jax._pad_steps(max(S, 1))
-    Lmax = max(max((int(p.shape[1]) for p in payload_list), default=1), 1)
-    Lmax = ((Lmax + 2047) // 2048) * 2048
+    Sp = R.pad_steps(max(S, 1))
+    Lb = max(max((int(p.shape[1]) for p in payload_list), default=1), 1)
+    Lb = ((Lb + 2047) // 2048) * 2048
+    Lw = Lb // 4
     nd = mesh.devices.size
     pad = (-B) % nd
     Bp = B + pad
+    K = streams_jax._CHUNK_SYMS
+    NC = Sp // K
 
-    pay = np.zeros((Bp, W, Lmax), dtype=np.uint8)
+    words = np.zeros((Bp, W * Lw), dtype=np.uint32)
     lens = np.zeros((Bp, W), dtype=np.int32)
-    actives = np.zeros((Bp, Sp, W), dtype=bool)
+    acts = np.zeros((Bp, Sp, W), dtype=np.int32)
     poss = np.zeros((Bp, Sp, W), dtype=np.uint32)
     resets = np.zeros((Bp, Sp, W), dtype=np.uint32)
     for b in range(B):
         p = payload_list[b]
-        pay[b, :, : p.shape[1]] = p
+        pay = np.zeros((W, Lb), dtype=np.uint8)
+        pay[:, : p.shape[1]] = p
+        words[b] = pay.view("<u4").reshape(-1)
         lens[b] = lens_list[b]
-        actives[b] = np.arange(Sp)[:, None] < counts_list[b][None, :]
+        acts[b] = np.arange(Sp)[:, None] < counts_list[b][None, :]
         if pos_list is not None and pos_list[b] is not None:
             q = pos_list[b]
             poss[b, : q.shape[0]] = q
@@ -161,8 +179,15 @@ def decode_stream_blocks(kind: str, geom, mesh: Mesh,
             r = reset_list[b]
             resets[b, : r.shape[0]] = r
 
-    fn = _build_sharded_decode(kind, geom, Sp, W, Lmax, mesh)
-    syms = np.asarray(fn(jnp.asarray(pay), jnp.asarray(lens),
-                         jnp.asarray(actives), jnp.asarray(poss),
-                         jnp.asarray(resets)))
-    return [syms[b, : steps_list[b]].astype(np.uint32) for b in range(B)]
+    fn = _build_sharded_decode(kind, geom, Sp, W, Lw, mesh)
+    syms = np.asarray(fn(jnp.asarray(words), jnp.asarray(lens),
+                         jnp.asarray(acts.reshape(Bp, NC, K, W)),
+                         jnp.asarray(poss.reshape(Bp, NC, K, W)),
+                         jnp.asarray(resets.reshape(Bp, NC, K, W))))
+    out = []
+    for b in range(B):
+        Sb = steps_list[b]
+        o = syms[b, :Sb].astype(np.uint32)
+        mask = np.arange(Sb)[:, None] < counts_list[b][None, :]
+        out.append(np.where(mask, o, np.uint32(0)))
+    return out

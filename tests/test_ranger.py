@@ -1,7 +1,9 @@
 """Unit tests for the lane-interleaved binary range coder (NumPy oracle).
 
 The oracle is the normative bit-format spec (SURVEY.md §4 item 1: coder
-golden/round-trip tests + model-update law tests).
+golden/round-trip tests + model-update law tests). Primitives are unmasked
+(pad-coded lockstep format); ragged-lane behaviour is tested at the stream
+level in test_streams/test_jax_equivalence.
 """
 
 import numpy as np
@@ -10,23 +12,24 @@ import pytest
 from slimfastq_tpu.ops import ranger_np as R
 
 
-def _roundtrip(syms, counts, ctxs, depth, num_ctx, rate=4):
+def _roundtrip(syms, ctxs, depth, num_ctx, rate=4):
     S, W = syms.shape
-    table = R.table_init(num_ctx * ((1 << depth) - 1))
+    nodes = (1 << depth) - 1
+    sac = num_ctx * nodes
+    tsize = (num_ctx + 1) * nodes
+    table = R.table_init(tsize, sac)
     enc = R.LaneEncoder(W, R.worst_case_bytes(S * depth))
     for t in range(S):
-        active = counts > t
-        R.encode_symbols(enc, table, ctxs[t], syms[t], active, depth, rate)
+        R.encode_symbols(enc, table, ctxs[t], syms[t], depth, rate, sac)
     enc.flush()
     lens = enc.ptr.copy()
     payload = enc.out[:, : int(lens.max())]
 
-    table2 = R.table_init(num_ctx * ((1 << depth) - 1))
+    table2 = R.table_init(tsize, sac)
     dec = R.LaneDecoder(payload, lens)
     out = np.zeros_like(syms)
     for t in range(S):
-        active = counts > t
-        out[t] = R.decode_symbols(dec, table2, ctxs[t], active, depth, rate)
+        out[t] = R.decode_symbols(dec, table2, ctxs[t], depth, rate, sac)
     assert np.array_equal(table, table2), "enc/dec model state diverged"
     return out, lens
 
@@ -35,12 +38,9 @@ def test_roundtrip_random_u6():
     rng = np.random.default_rng(0)
     W, S = 16, 400
     syms = rng.integers(0, 64, size=(S, W)).astype(np.uint32)
-    counts = rng.integers(0, S + 1, size=W)
-    counts[0], counts[1] = 0, S
     ctxs = rng.integers(0, 50, size=(S, W)).astype(np.uint32)
-    out, _ = _roundtrip(syms, counts, ctxs, 6, 50)
-    mask = np.arange(S)[:, None] < counts[None, :]
-    assert np.array_equal(out[mask], syms[mask])
+    out, _ = _roundtrip(syms, ctxs, 6, 50)
+    assert np.array_equal(out, syms)
 
 
 @pytest.mark.parametrize("depth", [1, 2, 6, 8])
@@ -48,9 +48,8 @@ def test_roundtrip_depths(depth):
     rng = np.random.default_rng(depth)
     W, S = 8, 200
     syms = rng.integers(0, 1 << depth, size=(S, W)).astype(np.uint32)
-    counts = np.full(W, S)
     ctxs = np.zeros((S, W), dtype=np.uint32)
-    out, _ = _roundtrip(syms, counts, ctxs, depth, 1)
+    out, _ = _roundtrip(syms, ctxs, depth, 1)
     assert np.array_equal(out, syms)
 
 
@@ -59,9 +58,8 @@ def test_skewed_compresses():
     W, S = 8, 1000
     syms = np.zeros((S, W), dtype=np.uint32)
     syms[::97] = 3
-    counts = np.full(W, S)
     ctxs = np.zeros((S, W), dtype=np.uint32)
-    _, lens = _roundtrip(syms, counts, ctxs, 6, 1)
+    _, lens = _roundtrip(syms, ctxs, 6, 1)
     bits_per_sym = lens.sum() * 8 / (S * W)
     assert bits_per_sym < 1.0, bits_per_sym
 
@@ -72,41 +70,54 @@ def test_all_lanes_one_context_collision():
     rng = np.random.default_rng(7)
     W, S = 32, 300
     syms = rng.integers(0, 4, size=(S, W)).astype(np.uint32)
-    counts = np.full(W, S)
     ctxs = np.zeros((S, W), dtype=np.uint32)
-    out, _ = _roundtrip(syms, counts, ctxs, 2, 1)
+    out, _ = _roundtrip(syms, ctxs, 2, 1)
     assert np.array_equal(out, syms)
 
 
+def test_sacrificial_context_cheap_and_frozen():
+    """Padded steps (sacrificial ctx) must cost ~nothing and not adapt."""
+    W, S, depth = 4, 1000, 6
+    num_ctx = 2
+    syms = np.zeros((S, W), dtype=np.uint32)
+    ctxs = np.full((S, W), num_ctx, dtype=np.uint32)  # all sacrificial
+    nodes = (1 << depth) - 1
+    sac = num_ctx * nodes
+    table = R.table_init((num_ctx + 1) * nodes, sac)
+    before = table.copy()
+    enc = R.LaneEncoder(W, R.worst_case_bytes(S * depth))
+    for t in range(S):
+        R.encode_symbols(enc, table, ctxs[t], syms[t], depth, 4, sac)
+    enc.flush()
+    assert np.array_equal(table, before), "sacrificial entries adapted"
+    bits_per_sym = enc.ptr.sum() * 8 / (S * W)
+    assert bits_per_sym < 0.1, bits_per_sym
+
+
 def test_update_law_clamps():
-    table = R.table_init(4)
+    table = R.table_init(4, 4)
     idx = np.zeros(8, dtype=np.int64)
     bit = np.zeros(8, dtype=np.uint32)  # all push p up
-    active = np.ones(8, dtype=bool)
     for _ in range(200):
         p = R.table_read(table, idx)
-        R.table_update(table, idx, p, bit, active, rate=2)
+        R.table_update(table, idx, p, bit, 2, 4)
     assert table[0] <= R.PROB_MAX
     bit[:] = 1
     for _ in range(200):
         p = R.table_read(table, idx)
-        R.table_update(table, idx, p, bit, active, rate=2)
+        R.table_update(table, idx, p, bit, 2, 4)
     assert table[0] >= R.PROB_MIN
 
 
 def test_single_lane_single_symbol():
     syms = np.array([[5]], dtype=np.uint32)
-    counts = np.array([1])
     ctxs = np.zeros((1, 1), dtype=np.uint32)
-    out, _ = _roundtrip(syms, counts, ctxs, 6, 1)
+    out, _ = _roundtrip(syms, ctxs, 6, 1)
     assert out[0, 0] == 5
 
 
-def test_zero_symbols_lane_only_flush():
-    W = 4
-    enc = R.LaneEncoder(W, R.worst_case_bytes(8))
-    enc.flush()
-    assert (enc.ptr == R.FLUSH_BYTES).all()
-    dec = R.LaneDecoder(enc.out[:, : R.FLUSH_BYTES],
-                        np.full(W, R.FLUSH_BYTES))
-    assert dec is not None  # init must not read past lane length
+def test_pad_steps_format_rule():
+    assert R.pad_steps(0) == 0
+    assert R.pad_steps(1) == R.STEP_BUCKET
+    assert R.pad_steps(R.STEP_BUCKET) == R.STEP_BUCKET
+    assert R.pad_steps(R.STEP_BUCKET + 1) == 2 * R.STEP_BUCKET
