@@ -123,8 +123,11 @@ def _gather_record_symbols(syms: np.ndarray, lengths: np.ndarray, W: int
     return out
 
 
-def encode_block(batch: FastqBatch, cfg: CodecConfig,
-                 backend=streams_np) -> EncodedBlock:
+def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
+    """Host-side modeling: produce every stream's (kind, geom, syms, counts,
+    pos, reset) coding job plus the block metadata. Used by encode_block and
+    by the benchmark harness (which times the device kernels in isolation).
+    """
     n = len(batch)
     W, Wa = cfg.lanes, cfg.aux_lanes
     lengths = np.array([len(s) for s in batch.seqs], dtype=np.int64)
@@ -201,10 +204,10 @@ def encode_block(batch: FastqBatch, cfg: CodecConfig,
         for q in batch.quals
     ]
 
-    # --- lay out lane matrices and run the coder --------------------------
-    streams: dict[str, EncodedStream] = {}
+    # --- lay out lane matrices --------------------------------------------
+    jobs: dict[str, tuple] = {}
 
-    def run_bytes(name: str, per_rec_or_lane, per_lane: bool = False):
+    def byte_job(name: str, per_rec_or_lane, per_lane: bool = False):
         if per_lane:
             counts = np.array([len(b) for b in per_rec_or_lane],
                               dtype=np.int64)
@@ -216,32 +219,38 @@ def encode_block(batch: FastqBatch, cfg: CodecConfig,
                                                       dtype=np.uint8)
         else:
             syms, counts = _to_lane_streams(per_rec_or_lane, Wa)
-        payload, lens = backend.encode_stream("byte", cfg.bytes_, syms, counts)
-        streams[name] = EncodedStream(counts, lens, payload)
+        jobs[name] = ("byte", cfg.bytes_, syms, counts, None, None)
 
-    run_bytes("LEN", len_rec)
-    run_bytes("IDD", idd_lane, per_lane=True)
-    run_bytes("IDX", idx_lane, per_lane=True)
-    run_bytes("SEQX", seqx_rec)
+    byte_job("LEN", len_rec)
+    byte_job("IDD", idd_lane, per_lane=True)
+    byte_job("IDX", idx_lane, per_lane=True)
+    byte_job("SEQX", seqx_rec)
 
     fsyms, fcounts = _to_lane_streams(flag_rec, Wa)
-    fpay, flens = backend.encode_stream("flag", cfg.flags, fsyms, fcounts)
-    streams["FLAG"] = EncodedStream(fcounts, flens, fpay)
+    jobs["FLAG"] = ("flag", cfg.flags, fsyms, fcounts, None, None)
 
     _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
     sq = _scatter_record_symbols(seq_codes, W, S, scounts)
-    spay, slens = backend.encode_stream("seq", cfg.seq, sq, scounts,
-                                        pos=pos, reset=reset)
-    streams["SEQ"] = EncodedStream(scounts, slens, spay)
+    jobs["SEQ"] = ("seq", cfg.seq, sq, scounts, pos, reset)
 
     qs = _scatter_record_symbols(qual_syms_rec, W, S, scounts)
     from dataclasses import replace
     qgeom = replace(cfg.qual, depth=qual_depth)
-    qpay, qlens = backend.encode_stream("qual", qgeom, qs, scounts,
-                                        pos=pos, reset=reset)
-    streams["QUAL"] = EncodedStream(scounts, qlens, qpay)
+    jobs["QUAL"] = ("qual", qgeom, qs, scounts, pos, reset)
 
-    return EncodedBlock(n, int(minq), qual_depth, streams)
+    return jobs, n, int(minq), qual_depth
+
+
+def encode_block(batch: FastqBatch, cfg: CodecConfig,
+                 backend=streams_np) -> EncodedBlock:
+    jobs, n, minq, qual_depth = stream_jobs(batch, cfg)
+    streams: dict[str, EncodedStream] = {}
+    for name in STREAMS:
+        kind, geom, syms, counts, pos, reset = jobs[name]
+        payload, lens = backend.encode_stream(kind, geom, syms, counts,
+                                              pos=pos, reset=reset)
+        streams[name] = EncodedStream(counts, lens, payload)
+    return EncodedBlock(n, minq, qual_depth, streams)
 
 
 def decode_block(blk: EncodedBlock, cfg: CodecConfig,
