@@ -1,11 +1,16 @@
-"""Top-level encode/decode API over whole FASTQ files."""
+"""Top-level encode/decode API over whole FASTQ files.
+
+Host path selection: the C++/vectorised-NumPy pipeline (pipeline_native)
+when the native library is available, else the pure-Python reference
+pipeline. Both produce byte-identical containers (tested)."""
 
 from __future__ import annotations
 
 import io
-from typing import BinaryIO
 
-from . import container
+import numpy as np
+
+from . import container, native
 from .config import CodecConfig, config_for_level
 from .pipeline import decode_block, encode_block
 from .ops import streams_np
@@ -18,26 +23,48 @@ def _batch_slice(b: FastqBatch, lo: int, hi: int) -> FastqBatch:
 
 
 def encode_fastq(data: bytes, cfg: CodecConfig | None = None,
-                 level: int = 3, backend=streams_np, **overrides) -> bytes:
+                 level: int = 3, backend=streams_np,
+                 use_native: bool | None = None, **overrides) -> bytes:
     cfg = cfg or config_for_level(level, **overrides)
-    batch = parse_fastq_bytes(data)
+    if use_native is None:
+        use_native = native.available()
     out = io.BytesIO()
     container.write_header(out, cfg)
     offsets = []
-    for lo in range(0, max(len(batch), 1), cfg.block_records):
-        blk = encode_block(_batch_slice(batch, lo, lo + cfg.block_records),
-                           cfg, backend=backend)
-        offsets.append(container.write_block(out, blk))
+    if use_native:
+        from .pipeline_native import encode_block_fast
+        buf = np.frombuffer(data, dtype=np.uint8)
+        idx, n = native.fastq_index(data)
+        for lo in range(0, max(n, 1), cfg.block_records):
+            blk = encode_block_fast(buf, idx, lo, min(lo + cfg.block_records,
+                                                      n), cfg, backend)
+            offsets.append(container.write_block(out, blk))
+    else:
+        batch = parse_fastq_bytes(data)
+        for lo in range(0, max(len(batch), 1), cfg.block_records):
+            blk = encode_block(_batch_slice(batch, lo,
+                                            lo + cfg.block_records),
+                               cfg, backend=backend)
+            offsets.append(container.write_block(out, blk))
     container.write_index(out, offsets)
     return out.getvalue()
 
 
-def decode_fastq(data: bytes, backend=streams_np) -> bytes:
+def decode_fastq(data: bytes, backend=streams_np,
+                 use_native: bool | None = None) -> bytes:
     f = io.BytesIO(data)
     cfg = container.read_header(f)
+    if use_native is None:
+        use_native = native.available()
     parts = []
-    for blk in container.iter_blocks(f):
-        parts.append(serialize_fastq(decode_block(blk, cfg, backend=backend)))
+    if use_native:
+        from .pipeline_native import decode_block_fast
+        for blk in container.iter_blocks(f):
+            parts.append(decode_block_fast(blk, cfg, backend))
+    else:
+        for blk in container.iter_blocks(f):
+            parts.append(serialize_fastq(decode_block(blk, cfg,
+                                                      backend=backend)))
     return b"".join(parts)
 
 

@@ -1,0 +1,218 @@
+"""ctypes bindings for the native host library (host.cpp).
+
+Builds _host.so on first import (g++ -O3) and caches it next to the source;
+falls back gracefully (``lib is None``) if no compiler is available, in
+which case callers use the pure-Python reference path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "host.cpp")
+_SO = os.path.join(_DIR, "_host.so")
+
+lib = None
+
+
+def _build() -> bool:
+    try:
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return True
+        r = subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _SO + ".tmp"],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            return False
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load():
+    global lib
+    if not _build():
+        return
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        lib = None
+        return
+    i64 = ctypes.c_int64
+    p8 = ctypes.POINTER(ctypes.c_uint8)
+    pi64 = ctypes.POINTER(i64)
+    pi32 = ctypes.POINTER(ctypes.c_int32)
+    pp8 = ctypes.POINTER(ctypes.c_void_p)
+
+    lib.fastq_index.restype = i64
+    lib.fastq_index.argtypes = [p8, i64, i64] + [pi64] * 9
+    lib.lens_encode.restype = i64
+    lib.lens_encode.argtypes = [pi64, i64, i64, p8, i64, pi32]
+    lib.lens_decode.restype = i64
+    lib.lens_decode.argtypes = [pp8, pi64, i64, i64, pi64]
+    lib.ids_encode.restype = i64
+    lib.ids_encode.argtypes = [p8, pi64, pi64, pi64, pi64, i64, i64,
+                               p8, p8, i64, pi64, p8, i64, pi64]
+    lib.ids_decode.restype = i64
+    lib.ids_decode.argtypes = [i64, i64, p8, pp8, pi64, pp8, pi64,
+                               p8, i64, pi64, pi64, p8, i64, pi64, pi64,
+                               pi64]
+    lib.fastq_assemble.restype = i64
+    lib.fastq_assemble.argtypes = [i64, p8, pi64, pi64, p8, pi64, p8,
+                                   pi64, p8, pi64, pi64, p8, i64]
+
+
+_load()
+
+
+def _p8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _pi64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _pi32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _bufptrs(bufs: list[np.ndarray]):
+    arr = (ctypes.c_void_p * len(bufs))()
+    for i, b in enumerate(bufs):
+        arr[i] = b.ctypes.data if b.size else None
+    return ctypes.cast(arr, ctypes.POINTER(ctypes.c_void_p)), arr
+
+
+def available() -> bool:
+    return lib is not None
+
+
+def _as_u8(data) -> np.ndarray:
+    if isinstance(data, np.ndarray):
+        return np.ascontiguousarray(data, dtype=np.uint8)
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def fastq_index(data):
+    """Returns dict of per-record offset/length arrays, or raises ValueError."""
+    buf = _as_u8(data)
+    cap = max(len(data) // 8, 4)
+    outs = {k: np.zeros(cap, dtype=np.int64)
+            for k in ("id_off", "id_len", "seq_off", "seq_len", "plus_off",
+                      "plus_len", "qual_off", "qual_len")}
+    err = np.zeros(1, dtype=np.int64)
+    n = lib.fastq_index(_p8(buf), len(buf), cap,
+                        _pi64(outs["id_off"]), _pi64(outs["id_len"]),
+                        _pi64(outs["seq_off"]), _pi64(outs["seq_len"]),
+                        _pi64(outs["plus_off"]), _pi64(outs["plus_len"]),
+                        _pi64(outs["qual_off"]), _pi64(outs["qual_len"]),
+                        _pi64(err))
+    if n < 0:
+        raise ValueError(f"malformed FASTQ near record {int(err[0])}")
+    return {k: v[:n] for k, v in outs.items()}, int(n)
+
+
+def lens_encode(lengths: np.ndarray, wa: int):
+    n = len(lengths)
+    out = np.zeros(10 * max(n, 1), dtype=np.uint8)
+    rec_nbytes = np.zeros(max(n, 1), dtype=np.int32)
+    total = lib.lens_encode(_pi64(np.ascontiguousarray(lengths)), n, wa,
+                            _p8(out), len(out), _pi32(rec_nbytes))
+    if total < 0:
+        raise RuntimeError("lens_encode overflow")
+    return out[:total], rec_nbytes[:n]
+
+
+def lens_decode(lane_bufs: list[np.ndarray], n: int, wa: int) -> np.ndarray:
+    lengths = np.zeros(max(n, 1), dtype=np.int64)
+    ptrs, keep = _bufptrs(lane_bufs)
+    sizes = np.array([len(b) for b in lane_bufs], dtype=np.int64)
+    r = lib.lens_decode(ptrs, _pi64(sizes), n, wa, _pi64(lengths))
+    if r < 0:
+        raise ValueError("corrupt LEN stream")
+    return lengths[:n]
+
+
+def ids_encode(data, idx: dict, n: int, wa: int):
+    buf = _as_u8(data)
+    flags = np.zeros(3 * max(n, 1), dtype=np.uint8)
+    total_id = int(idx["id_len"].sum()) if n else 0
+    total_plus = int(idx["plus_len"].sum()) if n else 0
+    rec_per_lane = (n + wa - 1) // max(wa, 1) + 1
+    # round-robin keeps lanes balanced; 4x margin, retry with the full
+    # worst case on overflow
+    dstride = 16 * rec_per_lane + 64
+    xstride = 4 * (total_id + total_plus) // max(wa, 1) + 16 * rec_per_lane \
+        + 64
+    for attempt in range(2):
+        delta = np.zeros(wa * dstride, dtype=np.uint8)
+        exc = np.zeros(wa * xstride, dtype=np.uint8)
+        dsizes = np.zeros(wa, dtype=np.int64)
+        xsizes = np.zeros(wa, dtype=np.int64)
+        r = lib.ids_encode(_p8(buf), _pi64(idx["id_off"]),
+                           _pi64(idx["id_len"]),
+                           _pi64(idx["plus_off"]), _pi64(idx["plus_len"]),
+                           n, wa, _p8(flags),
+                           _p8(delta), dstride, _pi64(dsizes),
+                           _p8(exc), xstride, _pi64(xsizes))
+        if r >= 0:
+            break
+        dstride = 32 * rec_per_lane + 64
+        xstride = total_id + total_plus + 16 * rec_per_lane + 64
+    if r < 0:
+        raise RuntimeError("ids_encode overflow")
+    dl = [delta[w * dstride: w * dstride + dsizes[w]].copy()
+          for w in range(wa)]
+    xl = [exc[w * xstride: w * xstride + xsizes[w]].copy()
+          for w in range(wa)]
+    return flags[: 3 * n], dl, xl
+
+
+def ids_decode(n: int, wa: int, flags: np.ndarray,
+               delta_bufs: list[np.ndarray], exc_bufs: list[np.ndarray]):
+    total_exc = sum(len(b) for b in exc_bufs)
+    arena_cap = total_exc + 64 * n + 1024
+    plus_cap = total_exc + (64 + 2) * n + 1024
+    id_arena = np.zeros(arena_cap, dtype=np.uint8)
+    plus_arena = np.zeros(plus_cap, dtype=np.uint8)
+    out_off = np.zeros(max(n, 1), dtype=np.int64)
+    out_len = np.zeros(max(n, 1), dtype=np.int64)
+    p_off = np.zeros(max(n, 1), dtype=np.int64)
+    p_len = np.zeros(max(n, 1), dtype=np.int64)
+    plus_used = np.zeros(1, dtype=np.int64)
+    dptrs, k1 = _bufptrs(delta_bufs)
+    xptrs, k2 = _bufptrs(exc_bufs)
+    dsz = np.array([len(b) for b in delta_bufs], dtype=np.int64)
+    xsz = np.array([len(b) for b in exc_bufs], dtype=np.int64)
+    r = lib.ids_decode(n, wa, _p8(np.ascontiguousarray(flags)),
+                       dptrs, _pi64(dsz), xptrs, _pi64(xsz),
+                       _p8(id_arena), arena_cap, _pi64(out_off),
+                       _pi64(out_len), _p8(plus_arena), plus_cap,
+                       _pi64(p_off), _pi64(p_len), _pi64(plus_used))
+    if r < 0:
+        raise ValueError("corrupt ID streams")
+    return (id_arena, out_off[:n], out_len[:n],
+            plus_arena, p_off[:n], p_len[:n])
+
+
+def fastq_assemble(n: int, id_arena, id_off, id_len, seq_buf, seq_off,
+                   qual_buf, lengths, plus_arena, plus_off,
+                   plus_len) -> bytes:
+    cap = int(id_len.sum() + plus_len.sum() + 2 * lengths.sum() + 5 * n + 16)
+    out = np.zeros(cap, dtype=np.uint8)
+    r = lib.fastq_assemble(n, _p8(id_arena), _pi64(id_off), _pi64(id_len),
+                           _p8(seq_buf), _pi64(seq_off), _p8(qual_buf),
+                           _pi64(lengths), _p8(plus_arena), _pi64(plus_off),
+                           _pi64(plus_len), _p8(out), cap)
+    if r < 0:
+        raise RuntimeError("fastq_assemble overflow")
+    return out[:r].tobytes()

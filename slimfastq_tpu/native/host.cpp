@@ -1,0 +1,413 @@
+// Native host-side components of the TPU FASTQ codec.
+//
+// The reference (Infinidat/slimfastq) is a single C++ binary; in this
+// TPU-native re-design the *device* does the entropy coding while the
+// host owns the string-shaped work (SURVEY.md §3.5). This library is the
+// production host path: FASTQ indexing/validation, tokenized read-ID
+// delta modeling (bit-format-identical to models/readid.py), varint
+// length/exception streams, and decode-side text assembly. The Python
+// implementations remain as the behavioural oracle; tests assert byte
+// equality between the two.
+//
+// Exposed with a plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FASTQ indexing: split a buffer into 4-line records, validate, and emit
+// per-record (offset, length) for the four fields.
+// Returns number of records, or -1 on malformed input (err_pos receives the
+// record index that failed).
+// ---------------------------------------------------------------------------
+int64_t fastq_index(const uint8_t* data, int64_t n,
+                    int64_t cap,  // max records the output arrays can hold
+                    int64_t* id_off, int64_t* id_len,
+                    int64_t* seq_off, int64_t* seq_len,
+                    int64_t* plus_off, int64_t* plus_len,
+                    int64_t* qual_off, int64_t* qual_len,
+                    int64_t* err_pos) {
+    int64_t i = 0, r = 0;
+    while (i < n) {
+        if (r >= cap) { *err_pos = r; return -2; }
+        // line 1: @id
+        if (data[i] != '@') { *err_pos = r; return -1; }
+        int64_t s = i + 1;
+        const uint8_t* nl = (const uint8_t*)memchr(data + s, '\n', n - s);
+        if (!nl) { *err_pos = r; return -1; }
+        id_off[r] = s; id_len[r] = nl - (data + s);
+        i = (nl - data) + 1;
+        // line 2: seq
+        s = i;
+        nl = (const uint8_t*)memchr(data + s, '\n', n - s);
+        if (!nl) { *err_pos = r; return -1; }
+        seq_off[r] = s; seq_len[r] = nl - (data + s);
+        i = (nl - data) + 1;
+        // line 3: +...
+        s = i;
+        if (s >= n || data[s] != '+') { *err_pos = r; return -1; }
+        nl = (const uint8_t*)memchr(data + s, '\n', n - s);
+        if (!nl) { *err_pos = r; return -1; }
+        plus_off[r] = s; plus_len[r] = nl - (data + s);
+        i = (nl - data) + 1;
+        // line 4: qual
+        s = i;
+        nl = (const uint8_t*)memchr(data + s, '\n', n - s);
+        if (!nl) { *err_pos = r; return -1; }
+        qual_off[r] = s; qual_len[r] = nl - (data + s);
+        if (qual_len[r] != seq_len[r]) { *err_pos = r; return -1; }
+        i = (nl - data) + 1;
+        r++;
+    }
+    return r;
+}
+
+// ---------------------------------------------------------------------------
+// varints (LEB128 + zigzag) — format-identical to utils/bits.py
+// ---------------------------------------------------------------------------
+static inline void put_varint(std::vector<uint8_t>& out, uint64_t v) {
+    while (true) {
+        uint8_t b = v & 0x7F;
+        v >>= 7;
+        if (v) out.push_back(b | 0x80);
+        else { out.push_back(b); return; }
+    }
+}
+
+static inline uint64_t zigzag(int64_t v) {
+    return (uint64_t(v) << 1) ^ uint64_t(v >> 63);
+}
+
+static inline int64_t unzigzag(uint64_t u) {
+    return int64_t(u >> 1) ^ -int64_t(u & 1);
+}
+
+static inline bool get_varint(const uint8_t* buf, int64_t n, int64_t& pos,
+                              uint64_t& v) {
+    v = 0;
+    int shift = 0;
+    while (pos < n) {
+        uint8_t b = buf[pos++];
+        v |= uint64_t(b & 0x7F) << shift;
+        if (!(b & 0x80)) return true;
+        shift += 7;
+        if (shift > 63) return false;
+    }
+    return false;
+}
+
+// ---------------------------------------------------------------------------
+// LEN stream: svarint(length - prev_length), aux-lane-local previous.
+// out buffers sized by caller (max 10 bytes/record). Returns per-lane and
+// per-record byte boundaries via rec_nbytes.
+// ---------------------------------------------------------------------------
+int64_t lens_encode(const int64_t* lengths, int64_t n, int64_t wa,
+                    uint8_t* out, int64_t out_cap, int32_t* rec_nbytes) {
+    std::vector<int64_t> prev(wa, 0);
+    std::vector<uint8_t> buf;
+    buf.reserve(n * 2);
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % wa;
+        size_t before = buf.size();
+        put_varint(buf, zigzag(lengths[r] - prev[w]));
+        prev[w] = lengths[r];
+        rec_nbytes[r] = int32_t(buf.size() - before);
+    }
+    if ((int64_t)buf.size() > out_cap) return -1;
+    memcpy(out, buf.data(), buf.size());
+    return (int64_t)buf.size();
+}
+
+int64_t lens_decode(const uint8_t* const* lane_bufs,
+                    const int64_t* lane_sizes, int64_t n, int64_t wa,
+                    int64_t* lengths) {
+    std::vector<int64_t> prev(wa, 0), pos(wa, 0);
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % wa;
+        uint64_t u;
+        if (!get_varint(lane_bufs[w], lane_sizes[w], pos[w], u)) return -1;
+        prev[w] += unzigzag(u);
+        lengths[r] = prev[w];
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Read-ID tokenized delta codec (mirrors models/readid.py exactly).
+// ---------------------------------------------------------------------------
+static const int MAX_DIGITS = 18;
+
+struct Tok { bool digit; int64_t off, len; };
+
+static void tokenize(const uint8_t* s, int64_t n, std::vector<Tok>& toks) {
+    toks.clear();
+    int64_t i = 0;
+    while (i < n) {
+        bool d = s[i] >= '0' && s[i] <= '9';
+        int64_t j = i + 1;
+        while (j < n && ((s[j] >= '0' && s[j] <= '9') == d)) j++;
+        toks.push_back({d, i, j - i});
+        i = j;
+    }
+}
+
+static bool digit_value(const uint8_t* s, int64_t len, int64_t& v) {
+    if (len > MAX_DIGITS) return false;
+    v = 0;
+    for (int64_t i = 0; i < len; i++) v = v * 10 + (s[i] - '0');
+    return true;
+}
+
+// render value in prev token's format into out; returns rendered length or
+// -1 if it cannot match
+static int64_t render(const uint8_t* prev_tok, int64_t prev_len,
+                      int64_t value, uint8_t* out, int64_t cap) {
+    char tmp[32];
+    int len;
+    if (prev_len > 1 && prev_tok[0] == '0') {
+        len = snprintf(tmp, sizeof tmp, "%0*lld", (int)prev_len,
+                       (long long)value);
+    } else {
+        len = snprintf(tmp, sizeof tmp, "%lld", (long long)value);
+    }
+    if (len < 0 || len > cap) return -1;
+    memcpy(out, tmp, len);
+    return len;
+}
+
+// Encode n record IDs + plus lines (aux-lane-local previous = record r-wa).
+// flags_out: 3 bytes/record in lane-stream order [id_exc, plus_plain,
+// plus_idcopy] — identical to pipeline.py. Plus-line exceptions interleave
+// with ID exceptions per record in the per-lane exception stream, exactly
+// as the Python path writes them.
+int64_t ids_encode(const uint8_t* data,
+                   const int64_t* id_off, const int64_t* id_len,
+                   const int64_t* plus_off, const int64_t* plus_len,
+                   int64_t n, int64_t wa,
+                   uint8_t* flags_out,
+                   uint8_t* delta_arena, int64_t delta_stride,
+                   int64_t* delta_sizes,
+                   uint8_t* exc_arena, int64_t exc_stride,
+                   int64_t* exc_sizes) {
+    std::vector<Tok> pt, ct;
+    std::vector<std::vector<uint8_t>> dbuf(wa), xbuf(wa);
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % wa;
+        const uint8_t* cur = data + id_off[r];
+        int64_t cn = id_len[r];
+        bool ok = false;
+        std::vector<uint8_t> deltas;
+        if (r >= wa) {
+            const uint8_t* prev = data + id_off[r - wa];
+            int64_t pn = id_len[r - wa];
+            tokenize(prev, pn, pt);
+            tokenize(cur, cn, ct);
+            if (pt.size() == ct.size()) {
+                ok = true;
+                std::vector<uint8_t> tmp;
+                for (size_t t = 0; t < pt.size() && ok; t++) {
+                    if (pt[t].digit != ct[t].digit) { ok = false; break; }
+                    if (!pt[t].digit) {
+                        if (pt[t].len != ct[t].len ||
+                            memcmp(prev + pt[t].off, cur + ct[t].off,
+                                   ct[t].len) != 0) ok = false;
+                        continue;
+                    }
+                    int64_t pv, cv;
+                    bool pok = digit_value(prev + pt[t].off, pt[t].len, pv);
+                    bool cok = digit_value(cur + ct[t].off, ct[t].len, cv);
+                    if (!pok || !cok) {
+                        if (pt[t].len == ct[t].len &&
+                            memcmp(prev + pt[t].off, cur + ct[t].off,
+                                   ct[t].len) == 0) {
+                            put_varint(tmp, zigzag(0));
+                            continue;
+                        }
+                        ok = false;
+                        break;
+                    }
+                    uint8_t rbuf[32];
+                    int64_t rl = render(prev + pt[t].off, pt[t].len, cv,
+                                        rbuf, sizeof rbuf);
+                    if (rl != ct[t].len ||
+                        memcmp(rbuf, cur + ct[t].off, rl) != 0) {
+                        ok = false;
+                        break;
+                    }
+                    put_varint(tmp, zigzag(cv - pv));
+                }
+                if (ok) deltas.swap(tmp);
+            }
+        }
+        if (ok) {
+            flags_out[3 * r] = 0;
+            dbuf[w].insert(dbuf[w].end(), deltas.begin(), deltas.end());
+        } else {
+            flags_out[3 * r] = 1;
+            put_varint(xbuf[w], (uint64_t)cn);
+            xbuf[w].insert(xbuf[w].end(), cur, cur + cn);
+        }
+        // plus line
+        const uint8_t* pl = data + plus_off[r];
+        int64_t pln = plus_len[r];
+        if (pln == 1 && pl[0] == '+') {
+            flags_out[3 * r + 1] = 1;
+            flags_out[3 * r + 2] = 0;
+        } else if (pln == cn + 1 && pl[0] == '+' &&
+                   memcmp(pl + 1, cur, cn) == 0) {
+            flags_out[3 * r + 1] = 0;
+            flags_out[3 * r + 2] = 1;
+        } else {
+            flags_out[3 * r + 1] = 0;
+            flags_out[3 * r + 2] = 0;
+            put_varint(xbuf[w], (uint64_t)pln);
+            xbuf[w].insert(xbuf[w].end(), pl, pl + pln);
+        }
+    }
+    for (int64_t w = 0; w < wa; w++) {
+        if ((int64_t)dbuf[w].size() > delta_stride ||
+            (int64_t)xbuf[w].size() > exc_stride) return -1;
+        memcpy(delta_arena + w * delta_stride, dbuf[w].data(),
+               dbuf[w].size());
+        delta_sizes[w] = dbuf[w].size();
+        memcpy(exc_arena + w * exc_stride, xbuf[w].data(), xbuf[w].size());
+        exc_sizes[w] = xbuf[w].size();
+    }
+    return 0;
+}
+
+// Decode n record IDs + plus lines. flags: 3 bytes/record (as encoded).
+// IDs land in id_arena (offsets/lengths out); plus lines in plus_arena.
+// Returns bytes used in id_arena, or -1; plus_used receives plus bytes.
+int64_t ids_decode(int64_t n, int64_t wa,
+                   const uint8_t* flags,
+                   const uint8_t* const* delta_bufs,
+                   const int64_t* delta_sizes,
+                   const uint8_t* const* exc_bufs,
+                   const int64_t* exc_sizes,
+                   uint8_t* id_arena, int64_t arena_cap,
+                   int64_t* out_off, int64_t* out_len,
+                   uint8_t* plus_arena, int64_t plus_cap,
+                   int64_t* plus_off, int64_t* plus_len,
+                   int64_t* plus_used_out) {
+    std::vector<Tok> pt;
+    std::vector<int64_t> dpos(wa, 0), xpos(wa, 0);
+    int64_t used = 0, pused = 0;
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % wa;
+        if (flags[3 * r] == 0) {
+            if (r < wa) return -1;
+            const uint8_t* prev = id_arena + out_off[r - wa];
+            int64_t pn = out_len[r - wa];
+            tokenize(prev, pn, pt);
+            out_off[r] = used;
+            int64_t len = 0;
+            for (auto& t : pt) {
+                if (used + len + t.len + 32 > arena_cap) return -1;
+                if (!t.digit) {
+                    memcpy(id_arena + used + len, prev + t.off, t.len);
+                    len += t.len;
+                    continue;
+                }
+                uint64_t u;
+                if (!get_varint(delta_bufs[w], delta_sizes[w], dpos[w], u))
+                    return -1;
+                int64_t d = unzigzag(u);
+                int64_t pv;
+                if (!digit_value(prev + t.off, t.len, pv)) {
+                    memcpy(id_arena + used + len, prev + t.off, t.len);
+                    len += t.len;
+                    continue;
+                }
+                int64_t rl = render(prev + t.off, t.len, pv + d,
+                                    id_arena + used + len, 32);
+                if (rl < 0) return -1;
+                len += rl;
+            }
+            out_len[r] = len;
+            used += len;
+        } else {
+            uint64_t ln;
+            if (!get_varint(exc_bufs[w], exc_sizes[w], xpos[w], ln))
+                return -1;
+            if (xpos[w] + (int64_t)ln > exc_sizes[w]) return -1;
+            if (used + (int64_t)ln > arena_cap) return -1;
+            memcpy(id_arena + used, exc_bufs[w] + xpos[w], ln);
+            xpos[w] += ln;
+            out_off[r] = used;
+            out_len[r] = ln;
+            used += ln;
+        }
+        // plus line
+        if (flags[3 * r + 1] == 1) {
+            if (pused + 1 > plus_cap) return -1;
+            plus_arena[pused] = '+';
+            plus_off[r] = pused;
+            plus_len[r] = 1;
+            pused += 1;
+        } else if (flags[3 * r + 2] == 1) {
+            int64_t ln = out_len[r] + 1;
+            if (pused + ln > plus_cap) return -1;
+            plus_arena[pused] = '+';
+            memcpy(plus_arena + pused + 1, id_arena + out_off[r],
+                   out_len[r]);
+            plus_off[r] = pused;
+            plus_len[r] = ln;
+            pused += ln;
+        } else {
+            uint64_t ln;
+            if (!get_varint(exc_bufs[w], exc_sizes[w], xpos[w], ln))
+                return -1;
+            if (xpos[w] + (int64_t)ln > exc_sizes[w]) return -1;
+            if (pused + (int64_t)ln > plus_cap) return -1;
+            memcpy(plus_arena + pused, exc_bufs[w] + xpos[w], ln);
+            xpos[w] += ln;
+            plus_off[r] = pused;
+            plus_len[r] = ln;
+            pused += ln;
+        }
+    }
+    *plus_used_out = pused;
+    return used;
+}
+
+// ---------------------------------------------------------------------------
+// decode-side FASTQ text assembly:
+// '@' id '\n' seq '\n' plus '\n' qual '\n' per record.
+// ---------------------------------------------------------------------------
+int64_t fastq_assemble(int64_t n,
+                       const uint8_t* id_arena, const int64_t* id_off,
+                       const int64_t* id_len,
+                       const uint8_t* seq_buf, const int64_t* seq_off,
+                       const uint8_t* qual_buf,
+                       const int64_t* lengths,
+                       const uint8_t* plus_arena, const int64_t* plus_off,
+                       const int64_t* plus_len,
+                       uint8_t* out, int64_t cap) {
+    int64_t p = 0;
+    for (int64_t r = 0; r < n; r++) {
+        int64_t need = 1 + id_len[r] + 1 + lengths[r] + 1 + plus_len[r]
+            + 1 + lengths[r] + 1;
+        if (p + need > cap) return -1;
+        out[p++] = '@';
+        memcpy(out + p, id_arena + id_off[r], id_len[r]);
+        p += id_len[r];
+        out[p++] = '\n';
+        memcpy(out + p, seq_buf + seq_off[r], lengths[r]);
+        p += lengths[r];
+        out[p++] = '\n';
+        memcpy(out + p, plus_arena + plus_off[r], plus_len[r]);
+        p += plus_len[r];
+        out[p++] = '\n';
+        memcpy(out + p, qual_buf + seq_off[r], lengths[r]);
+        p += lengths[r];
+        out[p++] = '\n';
+    }
+    return p;
+}
+
+}  // extern "C"
