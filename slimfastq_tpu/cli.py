@@ -59,23 +59,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _stats(encoded: bytes, raw_len: int, out=None) -> None:
     out = out if out is not None else sys.stderr
-    from . import container
-    f = io.BytesIO(encoded)
-    container.read_header(f)
-    totals: dict[str, int] = {}
-    nrec = 0
-    for blk in container.iter_blocks(f):
-        nrec += blk.num_records
-        for name, es in blk.streams.items():
-            totals[name] = totals.get(name, 0) + int(es.lane_lens.sum())
-    print(f"records:         {nrec}", file=out)
+    from .utils.stats import container_report
+    rep = container_report(encoded)
+    print(f"records:         {rep['records']}  "
+          f"(blocks: {rep['blocks']})", file=out)
     print(f"raw bytes:       {raw_len}", file=out)
-    print(f"compressed:      {len(encoded)}"
-          f"  (ratio {raw_len / max(len(encoded), 1):.3f})", file=out)
-    for name, b in sorted(totals.items(), key=lambda kv: -kv[1]):
+    print(f"compressed:      {rep['compressed_bytes']}"
+          f"  (ratio {raw_len / max(rep['compressed_bytes'], 1):.3f})",
+          file=out)
+    for name, b in sorted(rep["stream_bytes"].items(),
+                          key=lambda kv: -kv[1]):
         print(f"  {name:<6} {b:>12}", file=out)
-    overhead = len(encoded) - sum(totals.values())
-    print(f"  {'(hdrs)':<6} {overhead:>12}", file=out)
+    print(f"  {'(hdrs)':<6} {rep['header_overhead_bytes']:>12}", file=out)
 
 
 def main(argv: list[str] | None = None) -> int:

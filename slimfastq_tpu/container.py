@@ -162,6 +162,68 @@ def iter_blocks(f: BinaryIO) -> Iterator[EncodedBlock]:
         yield blk
 
 
+class Writer:
+    """Streaming, resumable container writer.
+
+    Blocks are appended as they are encoded; the index is written at
+    close(). If a run is interrupted, the file has blocks but no index —
+    ``Writer.resume(path)`` re-scans it (recover_blocks) and continues
+    after the last complete block, which is the checkpoint/resume story
+    for large multi-block runs (SURVEY.md §5): block granularity, no
+    partial state to reconstruct.
+    """
+
+    def __init__(self, f: BinaryIO, cfg: CodecConfig,
+                 offsets: list[int] | None = None):
+        self.f = f
+        self.cfg = cfg
+        self.offsets = offsets or []
+        self.closed = False
+
+    @classmethod
+    def create(cls, path: str, cfg: CodecConfig) -> "Writer":
+        f = open(path, "wb")
+        write_header(f, cfg)
+        return cls(f, cfg)
+
+    @classmethod
+    def resume(cls, path: str) -> tuple["Writer", int]:
+        """Reopen an interrupted container. Returns (writer,
+        records_already_written)."""
+        with open(path, "rb") as rf:
+            cfg, offsets = recover_blocks(rf)
+            done_records = 0
+            for off in offsets:
+                rf.seek(off)
+                n = int.from_bytes(rf.read(4), "little")
+                done_records += n
+            end = offsets and _end_of_block(rf, offsets[-1])
+        f = open(path, "r+b")
+        f.seek(end if offsets else 20)
+        f.truncate()
+        return cls(f, cfg, offsets), done_records
+
+    def append(self, blk: EncodedBlock) -> None:
+        assert not self.closed
+        self.offsets.append(write_block(self.f, blk))
+        self.f.flush()
+
+    def close(self) -> None:
+        if not self.closed:
+            write_index(self.f, self.offsets)
+            self.f.close()
+            self.closed = True
+
+
+def _end_of_block(f: BinaryIO, off: int) -> int:
+    f.seek(0, 2)
+    end = f.tell()
+    f.seek(0)
+    buf = f.read(end)
+    _, newpos = _read_block_header(buf, off)
+    return newpos
+
+
 def recover_blocks(f: BinaryIO) -> tuple[CodecConfig, list[int]]:
     """Scan a truncated container (no index) and return offsets of every
     complete block — the resume path for interrupted multi-host runs

@@ -425,14 +425,17 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
     Sp = R.pad_steps(S)
     if Sp == 0 or not (counts > 0).any():
         return np.zeros((W, 0), dtype=np.uint8), np.zeros(W, dtype=np.int64)
+    from ..utils.stats import trace
     sched = _build_schedule(kind, geom, Sp, W)
-    idx_c, bit_c = sched(jnp.asarray(_pad2(syms, Sp, W)),
-                         jnp.asarray(_pad2(pos, Sp, W)),
-                         jnp.asarray(_pad2(reset, Sp, W)),
-                         jnp.asarray(counts.astype(np.int32)))
+    with trace(f"sfq.encode.{kind}.schedule"):
+        idx_c, bit_c = sched(jnp.asarray(_pad2(syms, Sp, W)),
+                             jnp.asarray(_pad2(pos, Sp, W)),
+                             jnp.asarray(_pad2(reset, Sp, W)),
+                             jnp.asarray(counts.astype(np.int32)))
     for hard in (False, True):
         run = _build_encode(kind, geom, Sp, W, hard)
-        ebufs, eptrs, low, emax = run(idx_c, bit_c)
+        with trace(f"sfq.encode.{kind}.coder"):
+            ebufs, eptrs, low, emax = run(idx_c, bit_c)
         CB = _chunk_bytes(geom.depth, hard)
         if int(emax) <= CB:
             return _compact_host(np.asarray(ebufs), np.asarray(eptrs),
@@ -463,9 +466,12 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
     acts = (steps < counts[None, :]).astype(np.int32).reshape(NC, K, W)
     poss = _pad2(pos, Sp, W).reshape(NC, K, W)
     resets = _pad2(reset, Sp, W).reshape(NC, K, W)
+    from ..utils.stats import trace
     run = _build_decode(kind, geom, Sp, W, Lw)
-    syms = run(jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
-               jnp.asarray(acts), jnp.asarray(poss), jnp.asarray(resets))
+    with trace(f"sfq.decode.{kind}.coder"):
+        syms = run(jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
+                   jnp.asarray(acts), jnp.asarray(poss),
+                   jnp.asarray(resets))
     out = np.asarray(syms)[:S].astype(np.uint32)
     mask = np.arange(S)[:, None] < counts[None, :]
     return np.where(mask, out, np.uint32(0))

@@ -1,0 +1,110 @@
+"""Container writer streaming/resume, recovery, stats, and sharded-file
+encode equality."""
+
+import io
+
+import numpy as np
+import pytest
+
+import jax
+
+from slimfastq_tpu import container
+from slimfastq_tpu.api import decode_fastq, encode_fastq
+from slimfastq_tpu.config import config_for_level
+from slimfastq_tpu.pipeline import encode_block
+from slimfastq_tpu.utils.fastq import parse_fastq_bytes
+from slimfastq_tpu.utils.stats import Counters, container_report
+from slimfastq_tpu.utils.synth import synth_fastq
+
+CFG = dict(lanes=32, aux_lanes=8, block_records=128)
+
+
+def _blocks(data, cfg):
+    batch = parse_fastq_bytes(data)
+    from slimfastq_tpu.api import _batch_slice
+    out = []
+    for lo in range(0, len(batch), cfg.block_records):
+        out.append(encode_block(
+            _batch_slice(batch, lo, lo + cfg.block_records), cfg))
+    return out
+
+
+def test_writer_stream_and_close(tmp_path):
+    data = synth_fastq(300, read_len=40, seed=0)
+    cfg = config_for_level(3, **CFG)
+    path = tmp_path / "out.sfq"
+    w = container.Writer.create(str(path), cfg)
+    for blk in _blocks(data, cfg):
+        w.append(blk)
+    w.close()
+    assert decode_fastq(path.read_bytes()) == data
+
+
+def test_writer_resume_after_truncation(tmp_path):
+    data = synth_fastq(400, read_len=40, seed=1)
+    cfg = config_for_level(3, **CFG)
+    blocks = _blocks(data, cfg)
+    path = tmp_path / "part.sfq"
+    # write only the first 2 blocks and crash (no index)
+    w = container.Writer.create(str(path), cfg)
+    for blk in blocks[:2]:
+        w.append(blk)
+    w.f.flush()
+    w.f.close()  # simulate crash: no index written
+
+    w2, done = container.Writer.resume(str(path))
+    assert done == 2 * cfg.block_records
+    for blk in blocks[2:]:
+        w2.append(blk)
+    w2.close()
+    assert decode_fastq(path.read_bytes()) == data
+
+
+def test_recover_blocks_truncated_mid_block(tmp_path):
+    data = synth_fastq(400, read_len=40, seed=2)
+    cfg = config_for_level(3, **CFG)
+    full = encode_fastq(data, cfg=cfg)
+    # cut off the index AND half of the last block
+    f = io.BytesIO(full)
+    offs = container.read_index(f)
+    cut = offs[-1] + 40
+    truncated = full[:cut]
+    cfg2, got = container.recover_blocks(io.BytesIO(truncated))
+    assert got == offs[:-1]
+    assert cfg2.level == cfg.level
+
+
+def test_container_report():
+    data = synth_fastq(300, read_len=40, seed=3)
+    enc = encode_fastq(data, cfg=config_for_level(3, **CFG))
+    rep = container_report(enc)
+    assert rep["records"] == 300
+    assert rep["blocks"] == 3
+    assert set(rep["stream_bytes"]) == set(container.STREAMS)
+    assert rep["header_overhead_bytes"] > 0
+    assert (sum(rep["stream_bytes"].values())
+            + rep["header_overhead_bytes"] == len(enc))
+
+
+def test_counters():
+    c = Counters(raw_bytes=1000, coded_bytes=300)
+    with c.stage("x"):
+        pass
+    rep = c.report()
+    assert rep["ratio"] > 3 and "x" in rep["stages"]
+
+
+def test_sharded_file_encode_equals_sequential():
+    from slimfastq_tpu.ops import streams_jax
+    from slimfastq_tpu.parallel import mesh as pmesh
+    from slimfastq_tpu.parallel.sharded import encode_fastq_sharded
+
+    assert len(jax.devices()) >= 8
+    data = synth_fastq(500, read_len=40, seed=4, var_len=True,
+                       n_rate=0.005)
+    cfg = config_for_level(2, lanes=16, aux_lanes=8, block_records=64)
+    seq = encode_fastq(data, cfg=cfg, backend=streams_jax,
+                       use_native=False)
+    shd = encode_fastq_sharded(data, cfg, pmesh.make_mesh(8))
+    assert shd == seq
+    assert decode_fastq(shd, backend=streams_jax) == data
