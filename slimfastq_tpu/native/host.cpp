@@ -107,14 +107,14 @@ static inline bool get_varint(const uint8_t* buf, int64_t n, int64_t& pos,
 // ---------------------------------------------------------------------------
 int64_t lens_encode(const int64_t* lengths, int64_t n, int64_t wa,
                     uint8_t* out, int64_t out_cap, int32_t* rec_nbytes) {
-    std::vector<int64_t> prev(wa, 0);
+    (void)wa;  // previous is global r-1 (host modeling is serial)
+    int64_t prev = 0;
     std::vector<uint8_t> buf;
     buf.reserve(n * 2);
     for (int64_t r = 0; r < n; r++) {
-        int64_t w = r % wa;
         size_t before = buf.size();
-        put_varint(buf, zigzag(lengths[r] - prev[w]));
-        prev[w] = lengths[r];
+        put_varint(buf, zigzag(lengths[r] - prev));
+        prev = lengths[r];
         rec_nbytes[r] = int32_t(buf.size() - before);
     }
     if ((int64_t)buf.size() > out_cap) return -1;
@@ -125,13 +125,14 @@ int64_t lens_encode(const int64_t* lengths, int64_t n, int64_t wa,
 int64_t lens_decode(const uint8_t* const* lane_bufs,
                     const int64_t* lane_sizes, int64_t n, int64_t wa,
                     int64_t* lengths) {
-    std::vector<int64_t> prev(wa, 0), pos(wa, 0);
+    int64_t prev = 0;
+    std::vector<int64_t> pos(wa, 0);
     for (int64_t r = 0; r < n; r++) {
         int64_t w = r % wa;
         uint64_t u;
         if (!get_varint(lane_bufs[w], lane_sizes[w], pos[w], u)) return -1;
-        prev[w] += unzigzag(u);
-        lengths[r] = prev[w];
+        prev += unzigzag(u);
+        lengths[r] = prev;
     }
     return 0;
 }
@@ -201,9 +202,9 @@ int64_t ids_encode(const uint8_t* data,
         int64_t cn = id_len[r];
         bool ok = false;
         std::vector<uint8_t> deltas;
-        if (r >= wa) {
-            const uint8_t* prev = data + id_off[r - wa];
-            int64_t pn = id_len[r - wa];
+        if (r >= 1) {
+            const uint8_t* prev = data + id_off[r - 1];
+            int64_t pn = id_len[r - 1];
             tokenize(prev, pn, pt);
             tokenize(cur, cn, ct);
             if (pt.size() == ct.size()) {
@@ -300,9 +301,9 @@ int64_t ids_decode(int64_t n, int64_t wa,
     for (int64_t r = 0; r < n; r++) {
         int64_t w = r % wa;
         if (flags[3 * r] == 0) {
-            if (r < wa) return -1;
-            const uint8_t* prev = id_arena + out_off[r - wa];
-            int64_t pn = out_len[r - wa];
+            if (r < 1) return -1;
+            const uint8_t* prev = id_arena + out_off[r - 1];
+            int64_t pn = out_len[r - 1];
             tokenize(prev, pn, pt);
             out_off[r] = used;
             int64_t len = 0;

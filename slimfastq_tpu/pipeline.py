@@ -6,11 +6,13 @@ TPU-native replacement for slimfastq's single serial stream (SURVEY.md §2
 and the multi-host ordered gather possible).
 
 Record -> lane mapping is round-robin (record r -> lane r % W, slot r // W),
-so lanes stay balanced and every per-record "previous" reference (ID deltas,
-length deltas) is lane-local and deterministic.
+so lanes stay balanced. Per-record "previous" references for ID/length delta
+modeling are the globally previous record r-1 (that modeling runs serially
+on the host either way; only the resulting symbol streams are
+lane-parallel).
 
 Stream inventory per block (fixed order):
-  LEN   byte  — svarint(read_len - prev_len), lane-local prev (init 0)
+  LEN   byte  — svarint(read_len - prev_len), global prev (init 0)
   FLAG  flag  — 3 bits/record: [id_exception, plus_plain, plus_is_idcopy]
   IDD   byte  — svarint digit-token deltas for flag=0 IDs
   IDX   byte  — varint-length-prefixed exception IDs and plus lines
@@ -133,19 +135,22 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
     lengths = np.array([len(s) for s in batch.seqs], dtype=np.int64)
 
     # --- host-side per-record modeling ------------------------------------
+    # "previous record" for delta modeling is r-1 in file order: the
+    # modeling runs serially on the host; only the coded symbol streams
+    # are lane-parallel, so global deltas cost nothing and compress better
     len_rec: list[bytearray] = []
     flag_rec: list[bytes] = []
     idd_lane = [bytearray() for _ in range(Wa)]
     idx_lane = [bytearray() for _ in range(Wa)]
-    prev_len = [0] * Wa
+    prev_len = 0
     for r in range(n):
         w = r % Wa
         b = bytearray()
-        put_svarint(b, int(lengths[r]) - prev_len[w])
-        prev_len[w] = int(lengths[r])
+        put_svarint(b, int(lengths[r]) - prev_len)
+        prev_len = int(lengths[r])
         len_rec.append(b)
 
-        prev_id = batch.ids[r - Wa] if r >= Wa else None
+        prev_id = batch.ids[r - 1] if r >= 1 else None
         f_id = readid.encode_record_id(prev_id, batch.ids[r],
                                        idd_lane[w], idx_lane[w])
         plus = batch.pluses[r]
@@ -270,13 +275,13 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
     len_syms = dec_bytes("LEN")
     len_lanes = _from_lane_streams(len_syms, blk.streams["LEN"].sym_counts)
     lengths = np.zeros(n, dtype=np.int64)
-    prev_len = [0] * Wa
+    prev_len = 0
     lane_pos = [0] * Wa
     for r in range(n):
         w = r % Wa
         d, lane_pos[w] = get_svarint(len_lanes[w], lane_pos[w])
-        lengths[r] = prev_len[w] + d
-        prev_len[w] = int(lengths[r])
+        lengths[r] = prev_len + d
+        prev_len = int(lengths[r])
 
     # 2. flags (counts implicit: 3 per record, round-robin over aux lanes)
     fs = blk.streams["FLAG"]
@@ -303,7 +308,7 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
         f_pp = int(flag_lanes[w][fpos[w] + 1])
         f_pc = int(flag_lanes[w][fpos[w] + 2])
         fpos[w] += 3
-        prev_id = ids[r - Wa] if r >= Wa else None
+        prev_id = ids[r - 1] if r >= 1 else None
         rid, dpos[w], xpos[w] = readid.decode_record_id(
             prev_id, f_id, idd_lanes[w], dpos[w], idx_lanes[w], xpos[w])
         ids.append(rid)

@@ -6,12 +6,34 @@ from __future__ import annotations
 import numpy as np
 
 
+def _synth_genome(rng, size: int) -> np.ndarray:
+    """Genome-like base sequence: random backbone + duplicated segments
+    (repeats), so resequencing reads share deep k-mer statistics the way
+    real Illumina data does."""
+    g = rng.integers(0, 4, size=size).astype(np.uint8)
+    # plant repeats: copy random segments over other locations
+    n_rep = size // 2000
+    for _ in range(n_rep):
+        L = int(rng.integers(200, 2000))
+        src = int(rng.integers(0, max(size - L, 1)))
+        dst = int(rng.integers(0, max(size - L, 1)))
+        g[dst: dst + L] = g[src: src + L]
+    return g
+
+
+_COMP = np.array([3, 2, 1, 0], dtype=np.uint8)  # A<->T, C<->G in 2-bit
+
+
 def synth_fastq(num_reads: int, read_len: int = 100, seed: int = 0,
                 var_len: bool = False, n_rate: float = 0.001,
-                instrument: bytes = b"SIM01", qual_levels: int = 41) -> bytes:
-    """Generate FASTQ bytes with realistic structure:
+                instrument: bytes = b"SIM01", qual_levels: int = 41,
+                genome_size: int | None = None,
+                coverage_like: bool = True) -> bytes:
+    """Generate Illumina-like FASTQ:
     - IDs: instrument:run:flowcell:lane:tile:x:y with incrementing x/y
-    - seq: Markov-ish base composition with occasional N
+    - seq: reads sampled from a shared synthetic genome (fwd/revcomp),
+      with sequencing errors and occasional N — so order-k sequence
+      contexts have real structure to learn, as on real data
     - qual: position-degrading phred profile with autocorrelation
     """
     rng = np.random.default_rng(seed)
@@ -19,18 +41,33 @@ def synth_fastq(num_reads: int, read_len: int = 100, seed: int = 0,
     tile = 1101
     x = 1000
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    if genome_size is None:
+        genome_size = max(int(num_reads * read_len // 8), 10 * read_len)
+    genome = _synth_genome(rng, genome_size) if coverage_like else None
     for r in range(num_reads):
         L = read_len if not var_len else int(rng.integers(max(1, read_len // 2),
                                                           read_len + 1))
         x += int(rng.integers(1, 4))
         y = 2000 + (r % 997)
         rid = b"%s:23:H7QQQ:1:%d:%d:%d" % (instrument, tile, x, y)
-        # sequence: correlated bases
-        b_idx = rng.integers(0, 4, size=L)
-        rep = rng.random(L) < 0.35
-        for i in range(1, L):
-            if rep[i]:
-                b_idx[i] = b_idx[i - 1]
+        if coverage_like and L > 0:
+            start = int(rng.integers(0, max(genome_size - L, 1)))
+            b_idx = genome[start: start + L].copy()
+            if len(b_idx) < L:
+                b_idx = np.concatenate(
+                    [b_idx, rng.integers(0, 4, L - len(b_idx)).astype(np.uint8)])
+            if rng.random() < 0.5:
+                b_idx = _COMP[b_idx[::-1]]
+            err = rng.random(L) < 0.002  # sequencing errors
+            if err.any():
+                b_idx[err] = (b_idx[err] + rng.integers(1, 4,
+                                                        err.sum())) % 4
+        else:
+            b_idx = rng.integers(0, 4, size=L).astype(np.uint8)
+            rep = rng.random(L) < 0.35
+            for i in range(1, L):
+                if rep[i]:
+                    b_idx[i] = b_idx[i - 1]
         seq = bases[b_idx].copy()
         nmask = rng.random(L) < n_rate
         seq[nmask] = ord("N")
