@@ -76,6 +76,78 @@ def encode_file(src: str, dst: str, level: int = 3, backend=streams_np,
         f.write(encode_fastq(data, level=level, backend=backend, **overrides))
 
 
+def _record_boundary(chunk: bytes) -> int:
+    """Largest prefix of `chunk` ending on a 4-line record boundary."""
+    n_nl = chunk.count(b"\n")
+    keep_nl = (n_nl // 4) * 4
+    if keep_nl == 0:
+        return 0
+    pos = -1
+    for _ in range(keep_nl):
+        pos = chunk.index(b"\n", pos + 1)
+    return pos + 1
+
+
+def encode_file_streaming(src: str, dst: str, level: int = 3,
+                          backend=streams_np, chunk_bytes: int = 1 << 28,
+                          resume: bool = False, **overrides) -> None:
+    """Stream a large (100GB-class) FASTQ through the encoder with bounded
+    memory: reads chunk_bytes at a time, encodes whole blocks, appends them
+    via the resumable container.Writer. With resume=True, continues an
+    interrupted output file after its last complete block.
+
+    Output is byte-identical to encode_fastq on the same data as long as
+    chunk boundaries land on block_records multiples, which this function
+    guarantees by carrying remainder records between chunks.
+    """
+    cfg = config_for_level(level, **overrides)
+    skip_records = 0
+    if resume:
+        w, skip_records = container.Writer.resume(dst)
+        cfg = w.cfg
+    else:
+        w = container.Writer.create(dst, cfg)
+    carry = b""
+    batch_carry: FastqBatch | None = None
+    seen = 0
+    with open(src, "rb") as f:
+        while True:
+            chunk = carry + f.read(chunk_bytes)
+            if not chunk:
+                break
+            eof = len(chunk) < len(carry) + chunk_bytes
+            cut = len(chunk) if eof else _record_boundary(chunk)
+            data, carry = chunk[:cut], chunk[cut:]
+            if not data:
+                if eof:
+                    break
+                continue
+            batch = parse_fastq_bytes(data)
+            if batch_carry is not None:
+                batch = FastqBatch(batch_carry.ids + batch.ids,
+                                   batch_carry.seqs + batch.seqs,
+                                   batch_carry.pluses + batch.pluses,
+                                   batch_carry.quals + batch.quals)
+            n = len(batch)
+            full = (n // cfg.block_records) * cfg.block_records
+            limit = n if eof else full
+            for lo in range(0, limit, cfg.block_records):
+                hi = min(lo + cfg.block_records, limit)
+                if seen + hi <= skip_records:
+                    continue  # already in the resumed output
+                blk = encode_block(_batch_slice(batch, lo, hi), cfg,
+                                   backend=backend)
+                w.append(blk)
+            seen += limit
+            batch_carry = _batch_slice(batch, limit, n) if limit < n else None
+            if eof:
+                break
+    if batch_carry is not None and len(batch_carry):
+        blk = encode_block(batch_carry, cfg, backend=backend)
+        w.append(blk)
+    w.close()
+
+
 def decode_file(src: str, dst: str, backend=streams_np) -> None:
     with open(src, "rb") as f:
         data = f.read()
