@@ -37,7 +37,7 @@ def _cfg():
     reads = int(os.environ.get("SFQ_BENCH_READS", 16384))
     read_len = int(os.environ.get("SFQ_BENCH_LEN", 100))
     level = int(os.environ.get("SFQ_BENCH_LEVEL", 3))
-    cfg = config_for_level(level, lanes=512, aux_lanes=64,
+    cfg = config_for_level(level, lanes=1024, aux_lanes=64,
                            block_records=reads)
     return reads, read_len, level, cfg
 

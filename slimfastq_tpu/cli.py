@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print per-stream statistics")
     p.add_argument("--backend", choices=["jax", "oracle"], default="jax",
                    help="compute backend (default: jax)")
+    p.add_argument("--streaming", action="store_true",
+                   help="bounded-memory streaming encode for huge files "
+                        "(resumable: rerun with --resume after a crash)")
+    p.add_argument("--resume", action="store_true",
+                   help="with --streaming: continue an interrupted output")
     p.add_argument("--version", action="version",
                    version=f"sfq {__version__}")
     p.set_defaults(level=3)
@@ -76,6 +81,26 @@ def _stats(encoded: bytes, raw_len: int, out=None) -> None:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     backend = _pick_backend(args.backend)
+
+    if args.streaming and not args.decode:
+        if args.input == "-" or not args.output:
+            print("sfq: --streaming needs a file input and -o output",
+                  file=sys.stderr)
+            return 2
+        if (os.path.exists(args.output) and not args.force
+                and not args.resume):
+            print(f"sfq: {args.output} exists (use -f to overwrite)",
+                  file=sys.stderr)
+            return 2
+        from .api import encode_file_streaming
+        try:
+            encode_file_streaming(args.input, args.output,
+                                  level=args.level, backend=backend,
+                                  resume=args.resume)
+        except ValueError as e:
+            print(f"sfq: {e}", file=sys.stderr)
+            return 1
+        return 0
 
     if args.input == "-":
         data = sys.stdin.buffer.read()

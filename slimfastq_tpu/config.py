@@ -120,7 +120,7 @@ class CodecConfig:
     flags: FlagGeom = field(default_factory=FlagGeom)
     # TPU/block knobs — affect parallel layout only, not per-lane bit streams
     block_records: int = 1 << 14   # records per independently-decodable block
-    lanes: int = 512               # interleaved lanes for qual/seq streams
+    lanes: int = 1024              # interleaved lanes for qual/seq streams
     aux_lanes: int = 64            # lanes for small id/length/flag streams
 
 

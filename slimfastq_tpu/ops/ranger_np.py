@@ -48,6 +48,14 @@ PROB_ONE = 1 << PROB_BITS  # 4096
 PROB_INIT = PROB_ONE // 2  # 2048
 PROB_MIN = 16  # clamp: keeps per-bit cost bounded => bounded output size
 PROB_MAX = PROB_ONE - PROB_MIN
+# collision-capped adaptation: when c lanes hit the same table entry in one
+# lockstep bit-step, each lane's delta is scaled down by
+# 2^max(0, ceil_log2(c) - CAP_LOG2), so the merged update behaves like at
+# most ~2^CAP_LOG2 sequential updates instead of overshooting (measured:
+# -20..-40% on the quality stream at W>=512). The count rides in the high
+# bits of the entry during the step (CNT_SHIFT) and cancels exactly.
+CAP_LOG2 = 4
+CNT_SHIFT = 22
 RENORM_ITERS = 4  # provably sufficient for 32-bit state, 8-bit renorm
 FLUSH_BYTES = 4  # tail bytes emitted per lane at flush
 STEP_BUCKET = 256  # lockstep steps are padded to multiples of this
@@ -192,22 +200,45 @@ def table_read(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return np.clip(table[idx], PROB_MIN, PROB_MAX).astype(U32)
 
 
-def table_update(table: np.ndarray, idx: np.ndarray, p: np.ndarray,
-                 bit: np.ndarray, rate: int, sac_base: int) -> None:
-    """Batch-synchronous adaptive update (the deterministic parallel law).
+def table_mark(table: np.ndarray, idx: np.ndarray, sac_base: int) -> None:
+    """Step A of the collision-capped law: every lane deposits a count
+    marker in its entry's high bits (sacrificial entries excluded)."""
+    np.add.at(table, idx, np.where(idx < sac_base, I32(1 << CNT_SHIFT),
+                                   I32(0)))
 
-    All lanes computed their delta from the same pre-step snapshot ``p``;
-    deltas merge by commutative addition, then touched entries are clamped
-    (duplicate indices clamp to the identical value, so order is
-    irrelevant). Sacrificial entries never change.
+
+def ceil_log2_counts(c: np.ndarray):
+    """ceil(log2(c)) for c in [1, 1024] via threshold sums (no float)."""
+    lg = np.zeros_like(c)
+    for j in range(10):
+        lg = lg + (c > (1 << j)).astype(c.dtype)
+    return lg
+
+
+def table_update(table: np.ndarray, idx: np.ndarray, marked: np.ndarray,
+                 bit: np.ndarray, rate: int, sac_base: int) -> None:
+    """Batch-synchronous collision-capped update (deterministic parallel
+    law). ``marked`` is the gathered entry AFTER table_mark: low bits carry
+    the pre-step probability, high bits the step's collision count.
+
+    All lanes computed their delta from the same snapshot; deltas (scaled
+    by the collision cap) merge by commutative addition together with the
+    marker removal, then touched entries are clamped (duplicates clamp to
+    the identical value, so order is irrelevant). Sacrificial entries
+    never change.
     """
-    p32 = p.astype(I32)
+    p32 = (marked & I32((1 << CNT_SHIFT) - 1)).astype(I32)
+    cnt = (marked >> I32(CNT_SHIFT)).astype(I32)
+    p32 = np.clip(p32, PROB_MIN, PROB_MAX)
     delta = np.where(bit.astype(bool),
                      -(p32 >> rate),
                      (I32(PROB_ONE) - p32) >> rate)
-    delta = np.where(idx < sac_base, delta, I32(0))
+    extra = np.maximum(ceil_log2_counts(np.maximum(cnt, 1)) - CAP_LOG2, 0)
+    delta = delta >> extra  # arithmetic shift: consistent across backends
+    real = idx < sac_base
+    delta = np.where(real, delta - I32(1 << CNT_SHIFT), I32(0))
     np.add.at(table, idx, delta)
-    touched = idx[idx < sac_base]
+    touched = idx[real]
     table[touched] = np.clip(table[touched], PROB_MIN, PROB_MAX)
 
 
@@ -230,9 +261,12 @@ def encode_symbols(enc: LaneEncoder, table: np.ndarray, ctx: np.ndarray,
     for i in range(depth - 1, -1, -1):
         bit = ((sym >> U32(i)) & U32(1)).astype(U32)
         idx = base + node - 1
-        p = table_read(table, idx)
+        table_mark(table, idx, sac_base)
+        marked = table[idx]
+        p = np.clip(marked & I32((1 << CNT_SHIFT) - 1),
+                    PROB_MIN, PROB_MAX).astype(U32)
         enc.encode_bits(p, bit)
-        table_update(table, idx, p, bit, rate, sac_base)
+        table_update(table, idx, marked, bit, rate, sac_base)
         node = 2 * node + bit.astype(np.int64)
 
 
@@ -245,9 +279,12 @@ def decode_symbols(dec: LaneDecoder, table: np.ndarray, ctx: np.ndarray,
     sym = np.zeros(ctx.shape[0], dtype=U32)
     for _ in range(depth):
         idx = base + node - 1
-        p = table_read(table, idx)
+        table_mark(table, idx, sac_base)
+        marked = table[idx]
+        p = np.clip(marked & I32((1 << CNT_SHIFT) - 1),
+                    PROB_MIN, PROB_MAX).astype(U32)
         bit = dec.decode_bits(p)
-        table_update(table, idx, p, bit, rate, sac_base)
+        table_update(table, idx, marked, bit, rate, sac_base)
         node = 2 * node + bit.astype(np.int64)
         sym = (sym << U32(1)) | bit
     return sym

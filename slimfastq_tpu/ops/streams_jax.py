@@ -232,7 +232,13 @@ def _build_encode(kind: str, geom, Sp: int, W: int, hard: bool):
                 low, rngs, table, ebuf, eptr = st
                 idx = idxs[i]
                 bit = bits[i]
-                p = jnp.clip(table[idx], PROB_MIN, PROB_MAX).astype(U32)
+                # collision-capped law step A: deposit count markers
+                minc = jnp.where(idx < sac_base, I32(1 << R.CNT_SHIFT),
+                                 I32(0))
+                table = table.at[idx].add(minc)
+                marked = table[idx]
+                p = jnp.clip(marked & I32((1 << R.CNT_SHIFT) - 1),
+                             PROB_MIN, PROB_MAX).astype(U32)
                 split = (rngs >> U32(PROB_BITS)) * p
                 is1 = bit == 1
                 low = jnp.where(is1, low + split, low)
@@ -252,9 +258,15 @@ def _build_encode(kind: str, geom, Sp: int, W: int, hard: bool):
                     low = jnp.where(do, low << U32(8), low)
                     rngs = jnp.where(do, rngs << U32(8), rngs)
                 p32 = p.astype(I32)
+                cnt = marked >> I32(R.CNT_SHIFT)
                 delta = jnp.where(is1, -(p32 >> rate),
                                   (I32(PROB_ONE) - p32) >> rate)
-                delta = jnp.where(idx < sac_base, delta, I32(0))
+                lg = jnp.zeros_like(cnt)
+                for j in range(10):
+                    lg = lg + (cnt > (1 << j)).astype(I32)
+                delta = delta >> jnp.maximum(lg - R.CAP_LOG2, 0)
+                delta = jnp.where(idx < sac_base,
+                                  delta - I32(1 << R.CNT_SHIFT), I32(0))
                 table = table.at[idx].add(delta)
                 v = table[idx]
                 table = table.at[idx].set(jnp.clip(v, PROB_MIN, PROB_MAX))
@@ -357,7 +369,12 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
                 sym = jnp.zeros(W, U32)
                 for _ in range(depth):
                     idx = base + node - 1
-                    p = jnp.clip(table[idx], PROB_MIN, PROB_MAX).astype(U32)
+                    minc = jnp.where(idx < sac_base,
+                                     I32(1 << R.CNT_SHIFT), I32(0))
+                    table = table.at[idx].add(minc)
+                    marked = table[idx]
+                    p = jnp.clip(marked & I32((1 << R.CNT_SHIFT) - 1),
+                                 PROB_MIN, PROB_MAX).astype(U32)
                     split = (rngs >> U32(PROB_BITS)) * p
                     diff = (code - low) & U32(0xFFFFFFFF)
                     bit = (diff >= split).astype(I32)
@@ -377,9 +394,15 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
                         low = jnp.where(do, low << U32(8), low)
                         rngs = jnp.where(do, rngs << U32(8), rngs)
                     p32 = p.astype(I32)
+                    cnt = marked >> I32(R.CNT_SHIFT)
                     delta = jnp.where(is1, -(p32 >> rate),
                                       (I32(PROB_ONE) - p32) >> rate)
-                    delta = jnp.where(idx < sac_base, delta, I32(0))
+                    lg = jnp.zeros_like(cnt)
+                    for j in range(10):
+                        lg = lg + (cnt > (1 << j)).astype(I32)
+                    delta = delta >> jnp.maximum(lg - R.CAP_LOG2, 0)
+                    delta = jnp.where(idx < sac_base,
+                                      delta - I32(1 << R.CNT_SHIFT), I32(0))
                     table = table.at[idx].add(delta)
                     v = table[idx]
                     table = table.at[idx].set(

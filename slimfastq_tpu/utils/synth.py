@@ -44,6 +44,11 @@ def synth_fastq(num_reads: int, read_len: int = 100, seed: int = 0,
     if genome_size is None:
         genome_size = max(int(num_reads * read_len // 8), 10 * read_len)
     genome = _synth_genome(rng, genome_size) if coverage_like else None
+    # systematic per-cycle quality effects shared by all reads (real
+    # Illumina runs have them), so position context is informative
+    sys_pos = np.cumsum(rng.normal(0, 0.35, size=read_len + 1))
+    sys_pos -= sys_pos.mean()
+    sys_pos = np.clip(sys_pos, -4, 4)
     for r in range(num_reads):
         L = read_len if not var_len else int(rng.integers(max(1, read_len // 2),
                                                           read_len + 1))
@@ -71,11 +76,18 @@ def synth_fastq(num_reads: int, read_len: int = 100, seed: int = 0,
         seq = bases[b_idx].copy()
         nmask = rng.random(L) < n_rate
         seq[nmask] = ord("N")
-        # quality: high at start, drifting down, autocorrelated
+        # quality: position ramp + shared per-cycle systematics + per-read
+        # offset + autocorrelated noise + rare burst dips
         base_q = 38.0 - 8.0 * (np.arange(L) / max(1, L)) ** 2
-        noise = np.cumsum(rng.normal(0, 0.8, size=L))
+        base_q += sys_pos[:L] + rng.normal(0, 2.0)
+        noise = np.cumsum(rng.normal(0, 0.6, size=L))
         noise -= np.linspace(0, noise[-1] if L else 0.0, L)
-        q = np.clip(base_q + noise, 2, qual_levels - 1).astype(np.uint8)
+        q = base_q + noise
+        if L and rng.random() < 0.03:  # burst dip
+            d0 = int(rng.integers(0, L))
+            d1 = min(L, d0 + int(rng.integers(3, 15)))
+            q[d0:d1] -= rng.integers(8, 20)
+        q = np.clip(q, 2, qual_levels - 1).astype(np.uint8)
         q[nmask] = 2
         qual = (q + 33).tobytes()
         out += b"@" + rid + b"\n" + seq.tobytes() + b"\n+\n" + qual + b"\n"

@@ -69,3 +69,13 @@ def test_stdin_stdout_pipe(sample, tmp_path):
          "--backend", "oracle"],
         input=enc, capture_output=True, check=True).stdout
     assert dec == data
+
+
+def test_streaming_flag(sample, tmp_path):
+    out = tmp_path / "s.sfq"
+    assert main([str(sample), "--streaming", "-o", str(out),
+                 "--backend", "oracle"]) == 0
+    back = tmp_path / "b.fastq"
+    assert main(["-d", str(out), "-o", str(back),
+                 "--backend", "oracle"]) == 0
+    assert back.read_bytes() == sample.read_bytes()

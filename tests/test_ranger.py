@@ -94,19 +94,40 @@ def test_sacrificial_context_cheap_and_frozen():
     assert bits_per_sym < 0.1, bits_per_sym
 
 
-def test_update_law_clamps():
+def test_update_law_clamps_and_markers_cancel():
     table = R.table_init(4, 4)
     idx = np.zeros(8, dtype=np.int64)
     bit = np.zeros(8, dtype=np.uint32)  # all push p up
     for _ in range(200):
-        p = R.table_read(table, idx)
-        R.table_update(table, idx, p, bit, 2, 4)
-    assert table[0] <= R.PROB_MAX
+        R.table_mark(table, idx, 4)
+        marked = table[idx]
+        R.table_update(table, idx, marked, bit, 2, 4)
+    assert 0 <= table[0] <= R.PROB_MAX  # markers fully cancelled
     bit[:] = 1
     for _ in range(200):
-        p = R.table_read(table, idx)
-        R.table_update(table, idx, p, bit, 2, 4)
-    assert table[0] >= R.PROB_MIN
+        R.table_mark(table, idx, 4)
+        marked = table[idx]
+        R.table_update(table, idx, marked, bit, 2, 4)
+    assert R.PROB_MIN <= table[0] <= R.PROB_MAX
+
+
+def test_collision_cap_slows_merged_update():
+    """64 colliding lanes must move p by at most ~2^CAP_LOG2 single
+    steps, not 64."""
+    one = R.table_init(1 + 1, 1)
+    many = R.table_init(1 + 1, 1)
+    bit1 = np.zeros(1, dtype=np.uint32)
+    bitN = np.zeros(64, dtype=np.uint32)
+    R.table_mark(one, np.zeros(1, np.int64), 1)
+    R.table_update(one, np.zeros(1, np.int64), one[np.zeros(1, np.int64)],
+                   bit1, 4, 1)
+    single_step = one[0] - R.PROB_INIT
+    R.table_mark(many, np.zeros(64, np.int64), 1)
+    R.table_update(many, np.zeros(64, np.int64),
+                   many[np.zeros(64, np.int64)], bitN, 4, 1)
+    merged = many[0] - R.PROB_INIT
+    assert merged <= (1 << R.CAP_LOG2) * single_step + 64
+    assert many[0] <= R.PROB_MAX
 
 
 def test_single_lane_single_symbol():
