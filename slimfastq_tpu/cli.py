@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streaming", action="store_true",
                    help="bounded-memory streaming encode for huge files "
                         "(resumable: rerun with --resume after a crash)")
+    p.add_argument("--sharded", action="store_true",
+                   help="encode with record blocks sharded across all "
+                        "local devices (output identical to sequential)")
     p.add_argument("--resume", action="store_true",
                    help="with --streaming: continue an interrupted output")
     p.add_argument("--version", action="version",
@@ -114,6 +117,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.decode:
             result = decode_fastq(data, backend=backend)
+        elif args.sharded:
+            from .config import config_for_level
+            from .parallel.sharded import encode_fastq_sharded
+            result = encode_fastq_sharded(data,
+                                          config_for_level(args.level))
         else:
             result = encode_fastq(data, level=args.level, backend=backend)
     except ValueError as e:

@@ -196,10 +196,6 @@ def table_init(table_size: int, sac_base: int) -> np.ndarray:
     return t
 
 
-def table_read(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
-    return np.clip(table[idx], PROB_MIN, PROB_MAX).astype(U32)
-
-
 def table_mark(table: np.ndarray, idx: np.ndarray, sac_base: int) -> None:
     """Step A of the collision-capped law: every lane deposits a count
     marker in its entry's high bits (sacrificial entries excluded)."""
