@@ -9,7 +9,8 @@ encode/decode, ordered multi-host gather, and resumable partial output
 Layout (all little-endian):
   header:  magic 'SFQT' | u16 version | u8 level | u8 flags
            | u32 lanes | u32 aux_lanes | u32 block_records
-  block:   u32 num_records | u8 minq | u8 qual_depth | u16 reserved
+  block:   u32 crc32(body) | body:
+           u32 num_records | u8 minq | u8 qual_depth | u16 reserved
            then per stream (fixed STREAMS order):
              varint-delta u32 array: sym_counts  (omitted for streams whose
                counts are derivable: FLAG/SEQ/QUAL)
@@ -22,7 +23,9 @@ varint-delta array: varint(n), then varint(a[0]), then svarint(a[i]-a[i-1]).
 
 from __future__ import annotations
 
+import io
 import struct
+import zlib
 from typing import BinaryIO, Iterator
 
 import numpy as np
@@ -80,25 +83,34 @@ def read_header(f: BinaryIO) -> CodecConfig:
 
 
 def write_block(f: BinaryIO, blk: EncodedBlock) -> int:
-    """Append one encoded block; returns its start offset."""
+    """Append one encoded block (CRC32-protected); returns its start
+    offset."""
     off = f.tell()
-    f.write(struct.pack("<IBBH", blk.num_records, blk.minq,
-                        blk.qual_depth, 0))
+    body = io.BytesIO()
+    body.write(struct.pack("<IBBH", blk.num_records, blk.minq,
+                           blk.qual_depth, 0))
     for name in STREAMS:
         es = blk.streams[name]
         hdr = bytearray()
         if name not in IMPLICIT_COUNTS:
             _write_u32_array(hdr, es.sym_counts)
         _write_u32_array(hdr, es.lane_lens)
-        f.write(hdr)
+        body.write(hdr)
         for w in range(len(es.lane_lens)):
-            f.write(es.payload[w, : es.lane_lens[w]].tobytes())
+            body.write(es.payload[w, : es.lane_lens[w]].tobytes())
+    raw = body.getvalue()
+    f.write(struct.pack("<I", zlib.crc32(raw)))
+    f.write(raw)
     return off
 
 
 def _read_block_header(buf: bytes, pos: int):
     """Parse one block from a bytes buffer starting at pos.
-    Returns (EncodedBlock-with-None-implicit-counts, end_pos)."""
+    Returns (EncodedBlock-with-None-implicit-counts, end_pos).
+    Raises ValueError on CRC mismatch."""
+    (crc,) = struct.unpack_from("<I", buf, pos)
+    start = pos + 4
+    pos = start
     num_records, minq, qual_depth, _ = struct.unpack_from("<IBBH", buf, pos)
     pos += 8
     streams = {}
@@ -117,6 +129,8 @@ def _read_block_header(buf: bytes, pos: int):
                                                count=L, offset=pos)
                 pos += L
         streams[name] = EncodedStream(sym_counts, lane_lens, payload)
+    if zlib.crc32(buf[start:pos]) != crc:
+        raise ValueError("block CRC mismatch (corrupt container)")
     return EncodedBlock(num_records, minq, qual_depth, streams), pos
 
 
@@ -194,7 +208,7 @@ class Writer:
             cfg, offsets = recover_blocks(rf)
             done_records = 0
             for off in offsets:
-                rf.seek(off)
+                rf.seek(off + 4)  # skip CRC
                 n = int.from_bytes(rf.read(4), "little")
                 done_records += n
             end = offsets and _end_of_block(rf, offsets[-1])
