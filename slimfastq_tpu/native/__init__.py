@@ -68,6 +68,15 @@ def _load():
     lib.fastq_assemble.restype = i64
     lib.fastq_assemble.argtypes = [i64, p8, pi64, pi64, p8, pi64, p8,
                                    pi64, p8, pi64, pi64, p8, i64]
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    lib.pack_lanes.restype = i64
+    lib.pack_lanes.argtypes = [p8, pi64, pi64, i64, i64, i64, p8,
+                               ctypes.c_int32, pu32, pi64]
+    lib.unpack_lanes.restype = i64
+    lib.unpack_lanes.argtypes = [pu32, pi64, i64, i64, i64, p8,
+                                 ctypes.c_int32, p8, pi64]
+    lib.minmax_ranges.restype = None
+    lib.minmax_ranges.argtypes = [p8, pi64, pi64, i64, pi64, pi64]
 
 
 _load()
@@ -202,6 +211,50 @@ def ids_decode(n: int, wa: int, flags: np.ndarray,
         raise ValueError("corrupt ID streams")
     return (id_arena, out_off[:n], out_len[:n],
             plus_arena, p_off[:n], p_len[:n])
+
+
+def _pu32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def pack_lanes(src: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+               W: int, S: int, map256: np.ndarray | None = None,
+               bias: int = 0):
+    """Returns (mat [S, W] uint32, lane_totals [W], n_bad)."""
+    n = len(offs)
+    matT = np.zeros((W, max(S, 1)), dtype=np.uint32)
+    totals = np.zeros(W, dtype=np.int64)
+    mp = _p8(map256) if map256 is not None else \
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    bad = lib.pack_lanes(_p8(src), _pi64(np.ascontiguousarray(offs)),
+                         _pi64(np.ascontiguousarray(lens)), n, W,
+                         max(S, 1), mp, bias, _pu32(matT), _pi64(totals))
+    return np.ascontiguousarray(matT.T)[:S], totals, int(bad)
+
+
+def unpack_lanes(mat: np.ndarray, lens: np.ndarray, W: int,
+                 out_offs: np.ndarray, total: int,
+                 map256: np.ndarray | None = None,
+                 bias: int = 0) -> np.ndarray:
+    """mat: [S, W] uint32 -> record-major byte buffer."""
+    S = mat.shape[0]
+    matT = np.ascontiguousarray(mat.T)
+    out = np.zeros(max(total, 1), dtype=np.uint8)
+    mp = _p8(map256) if map256 is not None else \
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    lib.unpack_lanes(_pu32(matT), _pi64(np.ascontiguousarray(lens)),
+                     len(lens), W, max(S, 1), mp, bias, _p8(out),
+                     _pi64(np.ascontiguousarray(out_offs)))
+    return out
+
+
+def minmax_ranges(src: np.ndarray, offs: np.ndarray, lens: np.ndarray):
+    mn = np.zeros(1, dtype=np.int64)
+    mx = np.zeros(1, dtype=np.int64)
+    lib.minmax_ranges(_p8(src), _pi64(np.ascontiguousarray(offs)),
+                      _pi64(np.ascontiguousarray(lens)), len(offs),
+                      _pi64(mn), _pi64(mx))
+    return int(mn[0]), int(mx[0])
 
 
 def fastq_assemble(n: int, id_arena, id_off, id_len, seq_buf, seq_off,

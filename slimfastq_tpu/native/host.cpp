@@ -411,4 +411,82 @@ int64_t fastq_assemble(int64_t n,
     return p;
 }
 
+
+// ---------------------------------------------------------------------------
+// Lane packing: variable-length record ranges -> lane-major symbol matrix.
+// Records are assigned round-robin (r % W) and concatenated per lane in
+// record order. Output layout is [W, S] (lane-contiguous; the caller
+// transposes with one vectorised copy if it needs [S, W]).
+// map256: byte -> symbol map; entries of 255 count as "bad" (returned so
+// the caller can run the exception path only when needed). bias is
+// subtracted after mapping (e.g. min quality).
+// ---------------------------------------------------------------------------
+int64_t pack_lanes(const uint8_t* src, const int64_t* offs,
+                   const int64_t* lens, int64_t n, int64_t W, int64_t S,
+                   const uint8_t* map256, int32_t bias,
+                   uint32_t* out /*[W*S]*/, int64_t* lane_totals) {
+    for (int64_t w = 0; w < W; w++) lane_totals[w] = 0;
+    int64_t bad = 0;
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % W;
+        uint32_t* row = out + w * S + lane_totals[w];
+        const uint8_t* s = src + offs[r];
+        int64_t L = lens[r];
+        if (map256) {
+            for (int64_t i = 0; i < L; i++) {
+                uint8_t v = map256[s[i]];
+                bad += (v == 255);
+                row[i] = (v == 255) ? 0u : (uint32_t)v;
+            }
+        } else {
+            for (int64_t i = 0; i < L; i++)
+                row[i] = (uint32_t)(int32_t(s[i]) - bias);
+        }
+        lane_totals[w] += L;
+    }
+    return bad;
+}
+
+// inverse: [W, S] lane-major matrix -> record-major byte buffer through a
+// symbol->byte map (or +bias for qualities)
+int64_t unpack_lanes(const uint32_t* mat /*[W*S]*/, const int64_t* lens,
+                     int64_t n, int64_t W, int64_t S,
+                     const uint8_t* map256, int32_t bias,
+                     uint8_t* out, const int64_t* out_offs) {
+    std::vector<int64_t> pos(W, 0);
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % W;
+        const uint32_t* row = mat + w * S + pos[w];
+        uint8_t* dst = out + out_offs[r];
+        int64_t L = lens[r];
+        if (map256) {
+            for (int64_t i = 0; i < L; i++)
+                dst[i] = map256[row[i] & 255u];
+        } else {
+            for (int64_t i = 0; i < L; i++)
+                dst[i] = (uint8_t)(int32_t(row[i]) + bias);
+        }
+        pos[w] += L;
+    }
+    return 0;
+}
+
+// min/max over all record ranges in one pass (for quality biasing)
+void minmax_ranges(const uint8_t* src, const int64_t* offs,
+                   const int64_t* lens, int64_t n, int64_t* mn_out,
+                   int64_t* mx_out) {
+    int mn = 255, mx = 0;
+    for (int64_t r = 0; r < n; r++) {
+        const uint8_t* s = src + offs[r];
+        for (int64_t i = 0; i < lens[r]; i++) {
+            int v = s[i];
+            if (v < mn) mn = v;
+            if (v > mx) mx = v;
+        }
+    }
+    *mn_out = mn;
+    *mx_out = mx;
+}
+
 }  // extern "C"
+

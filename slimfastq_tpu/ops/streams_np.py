@@ -181,9 +181,9 @@ def build_pos_reset(lane_lengths: np.ndarray, num_steps: int):
     s = starts[r, w]
     keep = s < num_steps
     reset[s[keep], w[keep]] = 1
-    # pos[t] = t - last start <= t
-    t_idx = np.arange(num_steps, dtype=np.int64)[:, None]
-    start_mark = np.where(reset.astype(bool), t_idx, np.int64(-1))
+    # pos[t] = t - last start <= t (int32 accumulate: 2x less bandwidth)
+    t_idx = np.arange(num_steps, dtype=np.int32)[:, None]
+    start_mark = np.where(reset.astype(bool), t_idx, np.int32(-1))
     last_start = np.maximum.accumulate(start_mark, axis=0)
     pos = (t_idx - np.maximum(last_start, 0)).astype(U32)
     return pos, reset

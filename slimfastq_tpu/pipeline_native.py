@@ -134,11 +134,15 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         enc(name, "byte", cfg.bytes_, syms, counts)
 
     # --- SEQ + SEQX ---------------------------------------------------------
-    rm_flat = _gather_ranges(data, seq_off, lengths)  # record-major bases
-    codes_rm = _BASE_TO_CODE[rm_flat]
-    bad = codes_rm == 255
+    _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
+    sq, _, nbad = native.pack_lanes(data, seq_off, lengths, W, S,
+                                    map256=_BASE_TO_CODE)
     seqx_lane = [bytearray() for _ in range(Wa)]
-    if bad.any():
+    if nbad:
+        # rare path: locate non-ACGT bytes record-major
+        rm_flat = _gather_ranges(data, seq_off, lengths)
+        codes_rm = _BASE_TO_CODE[rm_flat]
+        bad = codes_rm == 255
         rec_starts = np.zeros(n, dtype=np.int64)
         rec_starts[1:] = np.cumsum(lengths[:-1])
         bad_idx = np.nonzero(bad)[0]
@@ -161,7 +165,6 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
                 put_varint(xb, int(p) - prev_p)
             xb.append(int(rm_flat[bi]))
             prev_p = int(p)
-        codes_rm = np.where(bad, 0, codes_rm)
     sx_counts = np.array([len(b) for b in seqx_lane], dtype=np.int64)
     sxS = int(sx_counts.max()) if sx_counts.size else 0
     sxsyms = np.zeros((sxS, Wa), dtype=U32)
@@ -169,27 +172,16 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         if b:
             sxsyms[: len(b), w] = np.frombuffer(bytes(b), dtype=np.uint8)
     enc("SEQX", "byte", cfg.bytes_, sxsyms, sx_counts)
-
-    lane_mat, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
-    order_m = _group_order(n, W)
-    rec_starts = np.zeros(n, dtype=np.int64)
-    rec_starts[1:] = np.cumsum(lengths[:-1])
-    grouped_codes = _gather_ranges(codes_rm.astype(U32),
-                                   rec_starts[order_m], lengths[order_m])
-    sq, _ = _lane_matrix(grouped_codes, scounts)
     enc("SEQ", "seq", cfg.seq, sq, scounts, pos=pos, reset=reset)
 
     # --- QUAL ---------------------------------------------------------------
-    q_rm = _gather_ranges(data, qual_off, lengths)
-    if q_rm.size:
-        minq = int(q_rm.min())
-        maxq = int(q_rm.max())
+    if n and int(lengths.sum()):
+        minq, maxq = native.minmax_ranges(data, qual_off, lengths)
     else:
         minq = maxq = 33
     qual_depth = 6 if (maxq - minq + 1) <= 64 else 7
-    grouped_q = _gather_ranges((q_rm.astype(U32) - U32(minq)),
-                               rec_starts[order_m], lengths[order_m])
-    qs, _ = _lane_matrix(grouped_q, scounts)
+    qs, _, _ = native.pack_lanes(data, qual_off, lengths, W, S,
+                                 bias=minq)
     from dataclasses import replace
     qgeom = replace(cfg.qual, depth=qual_depth)
     enc("QUAL", "qual", qgeom, qs, scounts, pos=pos, reset=reset)
@@ -268,26 +260,18 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
                                       qs.lane_lens, scounts, S,
                                       pos=pos, reset=reset)
 
-    # lane matrices -> record-major flat buffers
-    order_m = _group_order(n, W)
-    inv = np.empty(n, dtype=np.int64)
-    inv[order_m] = np.arange(n)
-    grouped_codes = _matrix_to_grouped(seq_syms, scounts)
-    grouped_qual = _matrix_to_grouped(qual_syms, scounts)
-    glens = lengths[order_m]
-    gstarts = np.zeros(n, dtype=np.int64)
-    gstarts[1:] = np.cumsum(glens[:-1])
-    rec_starts_g = gstarts[inv]  # start of record r inside grouped flat
+    # lane matrices -> record-major flat buffers (C++ unpack)
     rec_starts = np.zeros(n, dtype=np.int64)
     rec_starts[1:] = np.cumsum(lengths[:-1])
-    # record-major gather
-    seq_rm = _gather_ranges(grouped_codes, rec_starts_g, lengths)
-    qual_rm = _gather_ranges(grouped_qual, rec_starts_g, lengths)
-
-    seq_bytes = _CODE_TO_BASE[(seq_rm & 3).astype(np.uint8)].copy()
+    total = int(lengths.sum())
+    base_map = np.zeros(256, dtype=np.uint8)
+    base_map[:4] = _CODE_TO_BASE
+    seq_bytes = native.unpack_lanes(seq_syms & 3, lengths, W, rec_starts,
+                                    total, map256=base_map)
     for r, p, ch in exc:
         seq_bytes[rec_starts[r] + p] = ch
-    qual_bytes = (qual_rm.astype(np.uint8) + np.uint8(blk.minq))
+    qual_bytes = native.unpack_lanes(qual_syms, lengths, W, rec_starts,
+                                     total, bias=blk.minq)
 
     return native.fastq_assemble(
         n, ida, ioff, ilen,
