@@ -34,7 +34,7 @@ WORKDIR = os.environ.get("SFQ_BENCH_TMP") or tempfile.mkdtemp(
 
 def _cfg():
     from slimfastq_tpu.config import config_for_level
-    reads = int(os.environ.get("SFQ_BENCH_READS", 16384))
+    reads = int(os.environ.get("SFQ_BENCH_READS", 65536))
     read_len = int(os.environ.get("SFQ_BENCH_LEN", 100))
     level = int(os.environ.get("SFQ_BENCH_LEVEL", 3))
     cfg = config_for_level(level, lanes=1024, aux_lanes=64,
