@@ -203,6 +203,58 @@ def _build_schedule(kind: str, geom, Sp: int, W: int):
     return run
 
 
+def _pos_reset_device(lane_lens, Sp: int, S: int, W: int):
+    """Device-side equivalent of streams_np.build_pos_reset, padded to Sp.
+    lane_lens: [Rpl, W] int32."""
+    Rpl = lane_lens.shape[0]
+    starts = jnp.concatenate(
+        [jnp.zeros((1, W), I32),
+         jnp.cumsum(lane_lens[:-1].astype(I32), axis=0)], axis=0) \
+        if Rpl > 1 else jnp.zeros((Rpl, W), I32)
+    lane_ids = jax.lax.broadcasted_iota(I32, (Rpl, W), 1)
+    valid = (lane_lens > 0) & (starts < S)
+    flat = jnp.where(valid, starts * W + lane_ids, Sp * W)
+    reset_flat = jnp.zeros(Sp * W + 1, I32).at[flat.reshape(-1)].set(1)
+    reset = reset_flat[:-1].reshape(Sp, W)
+    t_idx = jax.lax.broadcasted_iota(I32, (Sp, W), 0)
+    marks = jnp.where(reset == 1, t_idx, I32(-1))
+    last = jax.lax.associative_scan(jnp.maximum, marks, axis=0)
+    pos = (t_idx - jnp.maximum(last, 0)).astype(U32)
+    return pos, reset.astype(U32)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_schedule_ll(kind: str, geom, Sp: int, S: int, W: int, Rpl: int):
+    """Schedule builder that derives pos/reset on device from the per-lane
+    record-length matrix — no [Sp, W] aux transfers from the host."""
+    depth = geom.depth
+    num_ctx = geom.num_ctx
+    KD = _CHUNK_SYMS * depth
+    NC = Sp // _CHUNK_SYMS
+
+    @jax.jit
+    def run(syms, lane_lens, counts):
+        poss, resets = _pos_reset_device(lane_lens, Sp, S, W)
+        steps = jax.lax.broadcasted_iota(I32, (Sp, W), 0)
+        active = steps < counts[None, :].astype(I32)
+        ctx = _ctx_precompute(kind, geom, syms, poss, resets)
+        ctx = jnp.where(active, ctx, U32(num_ctx)).astype(I32)
+        sym = jnp.where(active, syms, U32(0))
+        nodes = (1 << depth) - 1
+        base = ctx * I32(nodes)
+        idx_list, bit_list = [], []
+        for j in range(depth):
+            node = I32(1 << j) | (sym >> U32(depth - j)).astype(I32)
+            idx_list.append(base + node - 1)
+            bit_list.append(((sym >> U32(depth - 1 - j)) & U32(1))
+                            .astype(I32))
+        idx_all = jnp.stack(idx_list, axis=1).reshape(NC, KD, W)
+        bit_all = jnp.stack(bit_list, axis=1).reshape(NC, KD, W)
+        return idx_all, bit_all
+
+    return run
+
+
 @functools.lru_cache(maxsize=256)
 def _build_encode(kind: str, geom, Sp: int, W: int, hard: bool):
     # NOTE: keep this function in the exact proto shape — see module
@@ -429,6 +481,26 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
     return run
 
 
+@functools.lru_cache(maxsize=256)
+def _build_decode_ll(kind: str, geom, Sp: int, S: int, W: int, Rpl: int,
+                     Lw: int):
+    """Decode with acts/pos/reset derived on device from counts and the
+    per-lane record-length matrix."""
+    inner = _build_decode(kind, geom, Sp, W, Lw)
+    K = _CHUNK_SYMS
+    NC = Sp // K
+
+    @jax.jit
+    def run(paywords, lens, lane_lens, counts):
+        poss, resets = _pos_reset_device(lane_lens, Sp, S, W)
+        steps = jax.lax.broadcasted_iota(I32, (Sp, W), 0)
+        acts = (steps < counts[None, :].astype(I32)).astype(I32)
+        return inner(paywords, lens, acts.reshape(NC, K, W),
+                     poss.reshape(NC, K, W), resets.reshape(NC, K, W))
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # public drivers (streams_np-compatible)
 # ---------------------------------------------------------------------------
@@ -464,6 +536,65 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
             return _compact_host(np.asarray(ebufs), np.asarray(eptrs),
                                  np.asarray(low), counts, CB)
     raise AssertionError("encode chunk overflow even with hard buffers")
+
+
+def encode_stream_ll(kind: str, geom, syms: np.ndarray,
+                     lane_len_mat: np.ndarray, counts: np.ndarray):
+    """encode_stream variant for per-read streams (qual/seq): pos/reset
+    are derived on device from the per-lane record-length matrix, so the
+    host ships only symbols + the small length matrix."""
+    S, W = syms.shape
+    counts = np.asarray(counts)
+    Sp = R.pad_steps(S)
+    if Sp == 0 or not (counts > 0).any():
+        return np.zeros((W, 0), dtype=np.uint8), np.zeros(W, dtype=np.int64)
+    Rpl = max(lane_len_mat.shape[0], 1)
+    ll = np.zeros((Rpl, W), dtype=np.int32)
+    ll[: lane_len_mat.shape[0]] = lane_len_mat
+    from ..utils.stats import trace
+    sched = _build_schedule_ll(kind, geom, Sp, S, W, Rpl)
+    with trace(f"sfq.encode.{kind}.schedule"):
+        idx_c, bit_c = sched(jnp.asarray(_pad2(syms, Sp, W)),
+                             jnp.asarray(ll),
+                             jnp.asarray(counts.astype(np.int32)))
+    for hard in (False, True):
+        run = _build_encode(kind, geom, Sp, W, hard)
+        with trace(f"sfq.encode.{kind}.coder"):
+            ebufs, eptrs, low, emax = run(idx_c, bit_c)
+        CB = _chunk_bytes(geom.depth, hard)
+        if int(emax) <= CB:
+            return _compact_host(np.asarray(ebufs), np.asarray(eptrs),
+                                 np.asarray(low), counts, CB)
+    raise AssertionError("encode chunk overflow even with hard buffers")
+
+
+def decode_stream_ll(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
+                     lane_len_mat: np.ndarray, counts: np.ndarray,
+                     num_steps: int) -> np.ndarray:
+    """decode_stream variant with device-derived acts/pos/reset."""
+    W = payload.shape[0]
+    counts = np.asarray(counts)
+    S = num_steps
+    Sp = R.pad_steps(S)
+    if Sp == 0 or not (counts > 0).any():
+        return np.zeros((S, W), dtype=np.uint32)
+    Lb = max(int(payload.shape[1]), 1)
+    Lb = ((Lb + 2047) // 2048) * 2048
+    pay = np.zeros((W, Lb), dtype=np.uint8)
+    pay[:, : payload.shape[1]] = payload
+    Lw = Lb // 4
+    words = pay.view("<u4").reshape(W * Lw)
+    Rpl = max(lane_len_mat.shape[0], 1)
+    ll = np.zeros((Rpl, W), dtype=np.int32)
+    ll[: lane_len_mat.shape[0]] = lane_len_mat
+    from ..utils.stats import trace
+    run = _build_decode_ll(kind, geom, Sp, S, W, Rpl, Lw)
+    with trace(f"sfq.decode.{kind}.coder"):
+        syms = run(jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
+                   jnp.asarray(ll), jnp.asarray(counts.astype(np.int32)))
+    out = np.asarray(syms)[:S].astype(np.uint32)
+    mask = np.arange(S)[:, None] < counts[None, :]
+    return np.where(mask, out, np.uint32(0))
 
 
 def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,

@@ -134,7 +134,15 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         enc(name, "byte", cfg.bytes_, syms, counts)
 
     # --- SEQ + SEQX ---------------------------------------------------------
-    _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
+    from .pipeline import _lane_lengths_matrix
+    ll_mat = _lane_lengths_matrix(lengths, W)
+    scounts = ll_mat.sum(axis=0)
+    S = int(scounts.max()) if scounts.size else 0
+    # device backends derive pos/reset from ll_mat on device; the oracle
+    # backend needs them on host
+    ll_capable = hasattr(backend, "encode_stream_ll")
+    if not ll_capable:
+        _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
     sq, _, nbad = native.pack_lanes(data, seq_off, lengths, W, S,
                                     map256=_BASE_TO_CODE)
     seqx_lane = [bytearray() for _ in range(Wa)]
@@ -172,9 +180,7 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         if b:
             sxsyms[: len(b), w] = np.frombuffer(bytes(b), dtype=np.uint8)
     enc("SEQX", "byte", cfg.bytes_, sxsyms, sx_counts)
-    enc("SEQ", "seq", cfg.seq, sq, scounts, pos=pos, reset=reset)
 
-    # --- QUAL ---------------------------------------------------------------
     if n and int(lengths.sum()):
         minq, maxq = native.minmax_ranges(data, qual_off, lengths)
     else:
@@ -184,7 +190,18 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
                                  bias=minq)
     from dataclasses import replace
     qgeom = replace(cfg.qual, depth=qual_depth)
-    enc("QUAL", "qual", qgeom, qs, scounts, pos=pos, reset=reset)
+
+    if ll_capable:
+        pay, lens_ = backend.encode_stream_ll("seq", cfg.seq, sq, ll_mat,
+                                              scounts)
+        streams["SEQ"] = EncodedStream(scounts.astype(np.int64), lens_, pay)
+        pay, lens_ = backend.encode_stream_ll("qual", qgeom, qs, ll_mat,
+                                              scounts)
+        streams["QUAL"] = EncodedStream(scounts.astype(np.int64), lens_,
+                                        pay)
+    else:
+        enc("SEQ", "seq", cfg.seq, sq, scounts, pos=pos, reset=reset)
+        enc("QUAL", "qual", qgeom, qs, scounts, pos=pos, reset=reset)
 
     return EncodedBlock(n, minq, qual_depth, streams)
 
@@ -248,17 +265,29 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
             p += 1
 
     # 5/6. seq + qual
-    _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
+    from .pipeline import _lane_lengths_matrix
     ss = blk.streams["SEQ"]
-    seq_syms = backend.decode_stream("seq", cfg.seq, ss.payload,
-                                     ss.lane_lens, scounts, S,
-                                     pos=pos, reset=reset)
     qs = blk.streams["QUAL"]
     from dataclasses import replace
     qgeom = replace(cfg.qual, depth=blk.qual_depth)
-    qual_syms = backend.decode_stream("qual", qgeom, qs.payload,
-                                      qs.lane_lens, scounts, S,
-                                      pos=pos, reset=reset)
+    if hasattr(backend, "decode_stream_ll"):
+        ll_mat = _lane_lengths_matrix(lengths, W)
+        scounts = ll_mat.sum(axis=0)
+        S = int(scounts.max()) if scounts.size else 0
+        seq_syms = backend.decode_stream_ll("seq", cfg.seq, ss.payload,
+                                            ss.lane_lens, ll_mat, scounts,
+                                            S)
+        qual_syms = backend.decode_stream_ll("qual", qgeom, qs.payload,
+                                             qs.lane_lens, ll_mat, scounts,
+                                             S)
+    else:
+        _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
+        seq_syms = backend.decode_stream("seq", cfg.seq, ss.payload,
+                                         ss.lane_lens, scounts, S,
+                                         pos=pos, reset=reset)
+        qual_syms = backend.decode_stream("qual", qgeom, qs.payload,
+                                          qs.lane_lens, scounts, S,
+                                          pos=pos, reset=reset)
 
     # lane matrices -> record-major flat buffers (C++ unpack)
     rec_starts = np.zeros(n, dtype=np.int64)

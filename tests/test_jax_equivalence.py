@@ -101,3 +101,31 @@ def test_full_file_backend_equivalence(cfg):
     assert enc_np == enc_jx
     assert decode_fastq(enc_jx, backend=streams_jax) == data
     assert decode_fastq(enc_np, backend=streams_jax) == data
+
+
+def test_ll_variants_match_oracle(cfg):
+    """encode/decode_stream_ll (device-derived pos/reset) must be
+    byte-identical to the oracle path."""
+    rng = np.random.default_rng(5)
+    W = cfg.lanes
+    from slimfastq_tpu.pipeline import _lane_lengths_matrix
+    lengths = rng.integers(0, 60, size=100).astype(np.int64)
+    ll_mat = _lane_lengths_matrix(lengths, W)
+    counts = ll_mat.sum(axis=0)
+    S = int(counts.max())
+    _, counts2, S2, pos, reset = _seq_symbol_layout(lengths, W)
+    assert np.array_equal(counts, counts2) and S == S2
+    recs = [np.clip(30 + np.cumsum(rng.integers(-2, 3, size=L)),
+                    0, 63).astype(np.uint32) for L in lengths]
+    syms = _scatter_record_symbols(recs, W, S, counts)
+
+    p_np, l_np = streams_np.encode_stream("qual", cfg.qual, syms, counts,
+                                          pos=pos, reset=reset)
+    p_ll, l_ll = streams_jax.encode_stream_ll("qual", cfg.qual, syms,
+                                              ll_mat, counts)
+    assert np.array_equal(l_np, l_ll)
+    assert np.array_equal(p_np, p_ll)
+    d_ll = streams_jax.decode_stream_ll("qual", cfg.qual, p_np, l_np,
+                                        ll_mat, counts, S)
+    mask = np.arange(S)[:, None] < counts[None, :]
+    assert np.array_equal(d_ll[mask], syms[mask])
