@@ -97,3 +97,108 @@ def encode_fastq_sharded(data: bytes, cfg: CodecConfig,
         offsets.append(container.write_block(out, blk))
     container.write_index(out, offsets)
     return out.getvalue()
+
+
+def decode_fastq_sharded(data: bytes, mesh=None) -> bytes:
+    """Decode a container with the heavy per-read streams (SEQ/QUAL) of all
+    blocks decoded data-parallel across the mesh; aux streams and text
+    assembly stay per-block on the host. Byte-identical to sequential
+    decode."""
+    mesh = mesh or pmesh.make_mesh()
+    f = io.BytesIO(data)
+    cfg = container.read_header(f)
+    blocks = list(container.iter_blocks(f))
+    if not blocks:
+        return b""
+
+    from dataclasses import replace
+
+    from ..ops import streams_jax
+    from ..pipeline import (_lane_lengths_matrix, decode_block)
+    from ..utils.fastq import serialize_fastq
+
+    # 1. per-block host-side decode of aux streams to recover lengths
+    #    (needed for the SEQ/QUAL lane layout) — reuse the sequential
+    #    decoder for everything, but intercept SEQ/QUAL via the batch path
+    W = cfg.lanes
+    lens_list, counts_list, steps_list = [], [], []
+    pay_seq, len_seq, pay_q, len_q, qgeoms = [], [], [], [], []
+    lengths_per_block = []
+    for blk in blocks:
+        # decode LEN stream only (cheap, aux lanes) to get read lengths
+        from ..pipeline_native import decode_block_fast  # noqa: F401
+        es = blk.streams["LEN"]
+        S = int(np.asarray(es.sym_counts).max()) if len(es.sym_counts) else 0
+        syms = streams_jax.decode_stream("byte", cfg.bytes_, es.payload,
+                                         es.lane_lens, es.sym_counts, S)
+        from ..pipeline import _from_lane_streams
+        from ..utils.bits import get_svarint
+        lanes_b = _from_lane_streams(syms, np.asarray(es.sym_counts))
+        n = blk.num_records
+        lengths = np.zeros(n, dtype=np.int64)
+        prev = 0
+        pos_ = [0] * cfg.aux_lanes
+        for r in range(n):
+            w = r % cfg.aux_lanes
+            d, pos_[w] = get_svarint(lanes_b[w], pos_[w])
+            lengths[r] = prev + d
+            prev = int(lengths[r])
+        lengths_per_block.append(lengths)
+        ll = _lane_lengths_matrix(lengths, W)
+        counts = ll.sum(axis=0)
+        counts_list.append(counts)
+        steps_list.append(int(counts.max()) if counts.size else 0)
+        from ..ops.streams_np import build_pos_reset
+        pay_seq.append(blk.streams["SEQ"].payload)
+        len_seq.append(blk.streams["SEQ"].lane_lens)
+        pay_q.append(blk.streams["QUAL"].payload)
+        len_q.append(blk.streams["QUAL"].lane_lens)
+        qgeoms.append(replace(cfg.qual, depth=blk.qual_depth))
+
+    pos_list, reset_list = [], []
+    for b, blk in enumerate(blocks):
+        from ..ops.streams_np import build_pos_reset
+        ll = _lane_lengths_matrix(lengths_per_block[b], W)
+        pos, reset = build_pos_reset(ll, steps_list[b])
+        pos_list.append(pos)
+        reset_list.append(reset)
+
+    seq_dec = pmesh.decode_stream_blocks("seq", cfg.seq, mesh, pay_seq,
+                                         len_seq, counts_list, steps_list,
+                                         pos_list, reset_list)
+    # qual geometries may differ per block (6/7-bit); group
+    groups: dict[object, list[int]] = {}
+    for b, g in enumerate(qgeoms):
+        groups.setdefault(g, []).append(b)
+    qual_dec: list = [None] * len(blocks)
+    for g, idxs in groups.items():
+        res = pmesh.decode_stream_blocks(
+            "qual", g, mesh, [pay_q[b] for b in idxs],
+            [len_q[b] for b in idxs], [counts_list[b] for b in idxs],
+            [steps_list[b] for b in idxs], [pos_list[b] for b in idxs],
+            [reset_list[b] for b in idxs])
+        for i, b in enumerate(idxs):
+            qual_dec[b] = res[i]
+
+    # 2. finish each block on the host with the precomputed matrices
+    class _Precomputed:
+        """Backend shim: serves the sharded-decoded SEQ/QUAL matrices and
+        delegates aux streams to the sequential device backend."""
+
+        def __init__(self, seq_syms, qual_syms):
+            self._served = {"seq": seq_syms, "qual": qual_syms}
+
+        def decode_stream(self, kind, geom, payload, lens, counts,
+                          num_steps, pos=None, reset=None):
+            if kind in self._served:
+                return self._served[kind]
+            return streams_jax.decode_stream(kind, geom, payload, lens,
+                                             counts, num_steps, pos=pos,
+                                             reset=reset)
+
+    parts = []
+    for b, blk in enumerate(blocks):
+        backend = _Precomputed(seq_dec[b], qual_dec[b])
+        parts.append(serialize_fastq(decode_block(blk, cfg,
+                                                  backend=backend)))
+    return b"".join(parts)

@@ -108,3 +108,17 @@ def test_sharded_file_encode_equals_sequential():
     shd = encode_fastq_sharded(data, cfg, pmesh.make_mesh(8))
     assert shd == seq
     assert decode_fastq(shd, backend=streams_jax) == data
+
+
+def test_sharded_file_decode_equals_sequential():
+    from slimfastq_tpu.ops import streams_jax
+    from slimfastq_tpu.parallel import mesh as pmesh
+    from slimfastq_tpu.parallel.sharded import (decode_fastq_sharded,
+                                                encode_fastq_sharded)
+
+    data = synth_fastq(500, read_len=40, seed=9, var_len=True,
+                       n_rate=0.005)
+    cfg = config_for_level(2, lanes=16, aux_lanes=8, block_records=64)
+    mesh = pmesh.make_mesh(8)
+    enc = encode_fastq_sharded(data, cfg, mesh)
+    assert decode_fastq_sharded(enc, mesh) == data
