@@ -85,6 +85,98 @@ def _build(NC: int, W: int, CB: int, Bmax: int, interpret: bool):
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _build_v2(NC: int, W: int, CB: int, CBp: int, Bmax: int,
+              interpret: bool):
+    """Double-buffered DMA variant: one grid program per 8-lane group owns
+    the whole chunk sequence — 64 programs instead of W/8 * NC, with
+    HBM->VMEM chunk fetches overlapped against the placement compute."""
+    W8 = W // _LG
+    CBW = ((CB + 127) // 128) * 128 + 128
+
+    def kernel(offs_ref, ebuf_hbm, out_ref):
+        # ebuf_hbm: [NC * W8, _LG, CB] — single dynamic leading index
+        g = pl.program_id(0)
+
+        def body(scratch, sem):
+            def get_dma(slot, c):
+                return pltpu.make_async_copy(
+                    ebuf_hbm.at[c * W8 + g], scratch.at[slot],
+                    sem.at[slot])
+
+            get_dma(0, 0).start()
+
+            def loop(c, _):
+                slot = c % 2
+
+                @pl.when(c + 1 < NC)
+                def _():
+                    get_dma((c + 1) % 2, c + 1).start()
+
+                get_dma(slot, c).wait()
+                base = c * W + g * _LG
+                for j in range(_LG):
+                    off = offs_ref[base + j]
+                    aligned = pl.multiple_of((off >> 7) << 7, 128)
+                    shift = off - aligned
+                    win = out_ref[0, j, pl.ds(aligned, CBW)]
+                    chunk = scratch[slot, j, :CB]
+                    padded = jnp.concatenate(
+                        [chunk, jnp.zeros((CBW - CB,), jnp.int32)]
+                    ).reshape(1, CBW)
+                    rolled = pltpu.roll(padded, shift, axis=1).reshape(CBW)
+                    pos = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, CBW), 1).reshape(CBW)
+                    mask = (pos >= shift) & (pos < shift + CB)
+                    out_ref[0, j, pl.ds(aligned, CBW)] = jnp.where(
+                        mask, rolled, win)
+                return 0
+
+            jax.lax.fori_loop(0, NC, loop, 0)
+
+        pl.run_scoped(body,
+                      scratch=pltpu.VMEM((2, _LG, CBp), jnp.int32),
+                      sem=pltpu.SemaphoreType.DMA((2,)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(W8,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, _LG, Bmax), lambda g, offs: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    @jax.jit
+    def run(ebufs_i32, offs_flat):
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((W8, _LG, Bmax), jnp.int32),
+            interpret=interpret,
+        )(offs_flat, ebufs_i32)
+        return out.reshape(W, Bmax)
+
+    return run
+
+
+def compact_device_v2(ebufs, eptrs, Bmax: int):
+    """DMA double-buffered on-device compaction (preferred when Bmax rows
+    fit VMEM)."""
+    NC, W = eptrs.shape
+    assert W % _LG == 0
+    CB = ebufs.shape[-1] // W if ebufs.ndim == 2 else ebufs.shape[-1]
+    eb = ebufs.reshape(NC * (W // _LG), _LG, CB).astype(jnp.int32)
+    CBp = ((CB + 127) // 128) * 128  # HBM slices must be tile-aligned
+    if CBp != CB:
+        eb = jnp.pad(eb, ((0, 0), (0, 0), (0, CBp - CB)))
+    totals = jnp.sum(eptrs, axis=0)
+    offs = jnp.cumsum(eptrs, axis=0) - eptrs
+    Bk = Bmax + 512
+    interpret = jax.default_backend() != "tpu"
+    run = _build_v2(NC, W, CB, CBp, Bk, interpret)
+    return run(eb, offs.reshape(-1).astype(jnp.int32)), totals
+
+
 def compact_device(ebufs, eptrs, Bmax: int):
     """ebufs: [NC, W*CB] or [NC, W, CB] int32-valued bytes; eptrs: [NC, W].
     Returns (payload_i32 [W, Bmax], lane_totals [W])."""

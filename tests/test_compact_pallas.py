@@ -36,3 +36,22 @@ def test_compact_empty_lanes():
     out, totals = CP.compact_device(jnp.asarray(ebufs),
                                     jnp.asarray(eptrs), 256)
     assert int(np.asarray(totals).sum()) == 0
+
+
+@pytest.mark.parametrize("seed,NC,W,CB", [(2, 16, 16, 64)])
+def test_compact_v2_matches_reference(seed, NC, W, CB):
+    rng = np.random.default_rng(seed)
+    eptrs = rng.integers(0, CB // 3, size=(NC, W)).astype(np.int32)
+    ebufs = np.zeros((NC, W, CB), dtype=np.int32)
+    for c in range(NC):
+        for w in range(W):
+            ebufs[c, w, : eptrs[c, w]] = rng.integers(1, 256, eptrs[c, w])
+    out, totals = CP.compact_device_v2(jnp.asarray(ebufs),
+                                       jnp.asarray(eptrs), 1024)
+    out = np.asarray(out)
+    totals = np.asarray(totals)
+    for w in range(W):
+        ref = np.concatenate([ebufs[c, w, : eptrs[c, w]]
+                              for c in range(NC)]) if totals[w] else \
+            np.zeros(0, np.int32)
+        assert np.array_equal(out[w, : totals[w]], ref), f"lane {w}"
