@@ -129,3 +129,32 @@ def test_ll_variants_match_oracle(cfg):
                                         ll_mat, counts, S)
     mask = np.arange(S)[:, None] < counts[None, :]
     assert np.array_equal(d_ll[mask], syms[mask])
+
+
+def test_hard_buffer_variant_identical(cfg):
+    """The overflow-insurance encode build (hard=True, worst-case chunk
+    buffers) must emit byte-identical streams to the optimistic build."""
+    import jax.numpy as jnp
+    from slimfastq_tpu.ops import ranger_np as R
+
+    rng = np.random.default_rng(8)
+    W, S = 8, 300
+    syms = rng.integers(0, 64, size=(S, W)).astype(np.uint32)
+    counts = np.full(W, S)
+    Sp = R.pad_steps(S)
+    sched = streams_jax._build_schedule("qual", cfg.qual, Sp, W)
+    sc = sched(jnp.asarray(streams_jax._pad2(syms, Sp, W)),
+               jnp.asarray(streams_jax._pad2(None, Sp, W)),
+               jnp.asarray(streams_jax._pad2(None, Sp, W)),
+               jnp.asarray(counts.astype(np.int32)))
+    outs = {}
+    for hard in (False, True):
+        run = streams_jax._build_encode("qual", cfg.qual, Sp, W, hard)
+        ebufs, eptrs, low, emax = run(*sc)
+        CB = streams_jax._chunk_bytes(cfg.qual.depth, hard)
+        assert int(emax) <= CB
+        outs[hard] = streams_jax._compact_host(
+            np.asarray(ebufs), np.asarray(eptrs), np.asarray(low),
+            counts, CB)
+    assert np.array_equal(outs[False][1], outs[True][1])
+    assert np.array_equal(outs[False][0], outs[True][0])
