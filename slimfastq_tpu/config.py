@@ -131,18 +131,21 @@ class CodecConfig:
 # tables = better ratio. Levels 1-3 keep every table VMEM-resident
 # (<= ~4 MB) so the hot loop never touches HBM; level 4 trades speed for
 # maximum context depth.
+# Quality geometry per level follows the measured sweep (full previous-two
+# qualities beat quantised-q2 + fine position buckets by ~8%): see
+# BASELINE.md.
 LEVELS: dict[int, CodecConfig] = {
     1: CodecConfig(level=1,
                    qual=QualGeom(q2_bits=0, pos_bits=2, pos_shift=5, rate=5),
                    seq=SeqGeom(order=5, rate=4)),
     2: CodecConfig(level=2,
-                   qual=QualGeom(q2_bits=2, pos_bits=3, pos_shift=4, rate=5),
+                   qual=QualGeom(q2_bits=4, pos_bits=1, pos_shift=6, rate=5),
                    seq=SeqGeom(order=7, rate=4)),
     3: CodecConfig(level=3,
-                   qual=QualGeom(q2_bits=3, pos_bits=4, pos_shift=3, rate=5),
+                   qual=QualGeom(q2_bits=6, pos_bits=1, pos_shift=6, rate=5),
                    seq=SeqGeom(order=9, rate=4)),
     4: CodecConfig(level=4,
-                   qual=QualGeom(q2_bits=4, pos_bits=4, pos_shift=3, rate=5),
+                   qual=QualGeom(q2_bits=6, pos_bits=2, pos_shift=5, rate=5),
                    seq=SeqGeom(order=11, rate=4)),
 }
 
