@@ -137,16 +137,16 @@ class CodecConfig:
 LEVELS: dict[int, CodecConfig] = {
     1: CodecConfig(level=1,
                    qual=QualGeom(q2_bits=0, pos_bits=2, pos_shift=5, rate=5),
-                   seq=SeqGeom(order=5, rate=4)),
+                   seq=SeqGeom(order=5, rate=3)),
     2: CodecConfig(level=2,
                    qual=QualGeom(q2_bits=4, pos_bits=1, pos_shift=6, rate=5),
-                   seq=SeqGeom(order=7, rate=4)),
+                   seq=SeqGeom(order=7, rate=3)),
     3: CodecConfig(level=3,
                    qual=QualGeom(q2_bits=6, pos_bits=1, pos_shift=6, rate=5),
-                   seq=SeqGeom(order=9, rate=4)),
+                   seq=SeqGeom(order=10, rate=3)),
     4: CodecConfig(level=4,
                    qual=QualGeom(q2_bits=6, pos_bits=2, pos_shift=5, rate=5),
-                   seq=SeqGeom(order=11, rate=4)),
+                   seq=SeqGeom(order=11, rate=3)),
 }
 
 
