@@ -30,6 +30,7 @@ Performance design (measured on TPU v5e):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -538,6 +539,38 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
     raise AssertionError("encode chunk overflow even with hard buffers")
 
 
+# set SFQ_DEVICE_COMPACT=1 to concatenate emission chunks on device
+# (ops/compact_pallas.py) so only ~the compressed payload crosses PCIe,
+# instead of shipping dense chunk buffers to the host compactor
+_DEVICE_COMPACT = bool(int(os.environ.get("SFQ_DEVICE_COMPACT", "0")))
+
+
+def _compact_device_path(ebufs, eptrs, low, counts, CB):
+    """On-device compaction + host flush-byte append. Byte-identical to
+    _compact_host (tested)."""
+    from . import compact_pallas
+    eptrs_np = np.asarray(eptrs)
+    totals_np = eptrs_np.sum(axis=0)
+    Bmax = int(totals_np.max()) if totals_np.size else 0
+    Bmax = ((Bmax + R.FLUSH_BYTES + 127) // 128) * 128 + 128
+    pay_i32, _ = compact_pallas.compact_device_v2(ebufs, eptrs, Bmax)
+    pay = np.asarray(pay_i32.astype(jnp.uint8))
+    counts = np.asarray(counts)
+    act = counts > 0
+    lens = np.where(act, totals_np + R.FLUSH_BYTES, 0).astype(np.int64)
+    maxlen = int(lens.max()) if lens.size else 0
+    payload = np.zeros((len(counts), maxlen), dtype=np.uint8)
+    lowh = np.asarray(low).astype(np.uint64)
+    for w in range(len(counts)):
+        if act[w]:
+            n = int(totals_np[w])
+            payload[w, :n] = pay[w, :n]
+            lw = int(lowh[w])
+            for j in range(R.FLUSH_BYTES):
+                payload[w, n + j] = (lw >> (24 - 8 * j)) & 0xFF
+    return payload, lens
+
+
 def encode_stream_ll(kind: str, geom, syms: np.ndarray,
                      lane_len_mat: np.ndarray, counts: np.ndarray):
     """encode_stream variant for per-read streams (qual/seq): pos/reset
@@ -563,6 +596,8 @@ def encode_stream_ll(kind: str, geom, syms: np.ndarray,
             ebufs, eptrs, low, emax = run(idx_c, bit_c)
         CB = _chunk_bytes(geom.depth, hard)
         if int(emax) <= CB:
+            if _DEVICE_COMPACT and W % 8 == 0:
+                return _compact_device_path(ebufs, eptrs, low, counts, CB)
             return _compact_host(np.asarray(ebufs), np.asarray(eptrs),
                                  np.asarray(low), counts, CB)
     raise AssertionError("encode chunk overflow even with hard buffers")

@@ -55,3 +55,33 @@ def test_compact_v2_matches_reference(seed, NC, W, CB):
                               for c in range(NC)]) if totals[w] else \
             np.zeros(0, np.int32)
         assert np.array_equal(out[w, : totals[w]], ref), f"lane {w}"
+
+
+def test_device_compact_encode_path_identical(monkeypatch):
+    """SFQ_DEVICE_COMPACT encode path must produce byte-identical
+    payloads/lens to the host compactor."""
+    from slimfastq_tpu.config import config_for_level
+    from slimfastq_tpu.ops import streams_jax
+    from slimfastq_tpu.pipeline import _lane_lengths_matrix
+
+    rng = np.random.default_rng(3)
+    cfg = config_for_level(2, lanes=16, aux_lanes=8)
+    W = cfg.lanes
+    lengths = rng.integers(0, 50, size=80).astype(np.int64)
+    ll = _lane_lengths_matrix(lengths, W)
+    counts = ll.sum(axis=0)
+    S = int(counts.max())
+    syms = np.zeros((S, W), dtype=np.uint32)
+    offs = np.zeros(W, dtype=np.int64)
+    for r, L in enumerate(lengths):
+        w = r % W
+        syms[offs[w]: offs[w] + L, w] = rng.integers(0, 64, L)
+        offs[w] += L
+
+    p_host, l_host = streams_jax.encode_stream_ll("qual", cfg.qual, syms,
+                                                  ll, counts)
+    monkeypatch.setattr(streams_jax, "_DEVICE_COMPACT", True)
+    p_dev, l_dev = streams_jax.encode_stream_ll("qual", cfg.qual, syms,
+                                                ll, counts)
+    assert np.array_equal(l_host, l_dev)
+    assert np.array_equal(p_host, p_dev)
