@@ -59,10 +59,10 @@ def decode_fastq(data: bytes, backend=streams_np,
     parts = []
     if use_native:
         from .pipeline_native import decode_block_fast
-        for blk in container.iter_blocks(f):
+        for blk in container.iter_blocks(f, cfg):
             parts.append(decode_block_fast(blk, cfg, backend))
     else:
-        for blk in container.iter_blocks(f):
+        for blk in container.iter_blocks(f, cfg):
             parts.append(serialize_fastq(decode_block(blk, cfg,
                                                       backend=backend)))
     return b"".join(parts)
@@ -148,8 +148,25 @@ def encode_file_streaming(src: str, dst: str, level: int = 3,
     w.close()
 
 
+def decode_file_streaming(src: str, dst: str, backend=streams_np,
+                          use_native: bool | None = None) -> None:
+    """Bounded-memory decode of a 100GB-class container: blocks are read
+    (seek-based, via the index and the v2 length prefixes), decoded and
+    written one at a time, so RSS is bounded by a few blocks regardless of
+    container size (SURVEY.md §5 checkpoint/resume scale target)."""
+    if use_native is None:
+        use_native = native.available()
+    with open(src, "rb") as f, open(dst, "wb") as out:
+        cfg = container.read_header(f)
+        if use_native:
+            from .pipeline_native import decode_block_fast
+            for blk in container.iter_blocks(f, cfg):
+                out.write(decode_block_fast(blk, cfg, backend))
+        else:
+            for blk in container.iter_blocks(f, cfg):
+                out.write(serialize_fastq(decode_block(blk, cfg,
+                                                       backend=backend)))
+
+
 def decode_file(src: str, dst: str, backend=streams_np) -> None:
-    with open(src, "rb") as f:
-        data = f.read()
-    with open(dst, "wb") as f:
-        f.write(decode_fastq(data, backend=backend))
+    decode_file_streaming(src, dst, backend=backend)

@@ -52,11 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["jax", "oracle"], default="jax",
                    help="compute backend (default: jax)")
     p.add_argument("--streaming", action="store_true",
-                   help="bounded-memory streaming encode for huge files "
-                        "(resumable: rerun with --resume after a crash)")
+                   help="bounded-memory streaming encode/decode for huge "
+                        "files (encode is resumable: rerun with --resume "
+                        "after a crash)")
     p.add_argument("--sharded", action="store_true",
-                   help="encode with record blocks sharded across all "
-                        "local devices (output identical to sequential)")
+                   help="encode/decode with record blocks sharded across "
+                        "all local devices (output identical to "
+                        "sequential)")
     p.add_argument("--resume", action="store_true",
                    help="with --streaming: continue an interrupted output")
     p.add_argument("--version", action="version",
@@ -84,6 +86,23 @@ def _stats(encoded: bytes, raw_len: int, out=None) -> None:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     backend = _pick_backend(args.backend)
+
+    if args.streaming and args.decode:
+        if args.input == "-" or not args.output:
+            print("sfq: --streaming needs a file input and -o output",
+                  file=sys.stderr)
+            return 2
+        if os.path.exists(args.output) and not args.force:
+            print(f"sfq: {args.output} exists (use -f to overwrite)",
+                  file=sys.stderr)
+            return 2
+        from .api import decode_file_streaming
+        try:
+            decode_file_streaming(args.input, args.output, backend=backend)
+        except ValueError as e:
+            print(f"sfq: {e}", file=sys.stderr)
+            return 1
+        return 0
 
     if args.streaming and not args.decode:
         if args.input == "-" or not args.output:
@@ -115,7 +134,10 @@ def main(argv: list[str] | None = None) -> int:
             data = f.read()
 
     try:
-        if args.decode:
+        if args.decode and args.sharded:
+            from .parallel.sharded import decode_fastq_sharded
+            result = decode_fastq_sharded(data)
+        elif args.decode:
             result = decode_fastq(data, backend=backend)
         elif args.sharded:
             from .config import config_for_level

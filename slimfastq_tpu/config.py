@@ -114,6 +114,11 @@ class FlagGeom:
 class CodecConfig:
     """Full codec configuration for one container."""
     level: int = 3
+    # container format version this config decodes/encodes (container.py
+    # VERSION). Encoding always writes the current version; fmt=1 appears
+    # only on configs read from legacy round-1 containers (per-base SEQX
+    # exceptions, un-CRC'd header/index, no block length prefix).
+    fmt: int = 2
     qual: QualGeom = field(default_factory=QualGeom)
     seq: SeqGeom = field(default_factory=SeqGeom)
     bytes_: ByteGeom = field(default_factory=ByteGeom)

@@ -3,20 +3,35 @@ single-file multiplexed "filer" (SURVEY.md §2 "Container"): instead of
 interleaved per-stream pages in one serial file, the container is a header +
 a sequence of independently-decodable record-blocks + a trailing index of
 block byte-ranges. Independent blocks are what enable data-parallel device
-encode/decode, ordered multi-host gather, and resumable partial output
-(SURVEY.md §5 failure detection / checkpoint-resume).
+encode/decode, ordered multi-host gather, resumable partial output, and
+bounded-memory streaming decode (SURVEY.md §5 failure detection /
+checkpoint-resume).
 
-Layout (all little-endian):
+Format VERSION 2 layout (all little-endian):
   header:  magic 'SFQT' | u16 version | u8 level | u8 flags
            | u32 lanes | u32 aux_lanes | u32 block_records
-  block:   u32 crc32(body) | body:
+           | geometry (11 bytes: qual depth,q2_bits,pos_bits,pos_shift,rate;
+             seq order,rate; byte order,rate; flag hist_bits,rate)
+           | u8 reserved | u32 crc32(header so far)
+  block:   u32 crc32(body) | u32 body_len | body:
            u32 num_records | u8 minq | u8 qual_depth | u16 reserved
            then per stream (fixed STREAMS order):
              varint-delta u32 array: sym_counts  (omitted for streams whose
                counts are derivable: FLAG/SEQ/QUAL)
              varint-delta u32 array: lane_lens
              lane payload bytes (concatenated, unpadded)
-  index:   u64 block_offsets[n_blocks] | u32 n_blocks | magic 'SFQE'
+  index:   u64 block_offsets[n] | u32 n | u32 crc32(offsets|n) | magic 'SFQE'
+
+The geometry block makes every context-model knob self-describing (a round-1
+finding: containers encoded with geometry overrides silently decoded with
+the level's defaults); the header/index CRCs mean any single corrupt byte
+anywhere in a container raises a clean ValueError. The u32 body_len prefix
+is what makes single-pass bounded-memory recovery and streaming decode
+possible (no index needed to find block extents).
+
+VERSION 1 (round-1) containers remain readable: 20-byte header without
+geometry/CRC, blocks without the body_len prefix, index without CRC, and
+per-base (not run-length) SEQX exception coding — see pipeline.py.
 
 varint-delta array: varint(n), then varint(a[0]), then svarint(a[i]-a[i-1]).
 """
@@ -26,21 +41,32 @@ from __future__ import annotations
 import io
 import struct
 import zlib
+from dataclasses import replace
 from typing import BinaryIO, Iterator
 
 import numpy as np
 
-from .config import CodecConfig, config_for_level
+from .config import (ByteGeom, CodecConfig, FlagGeom, QualGeom, SeqGeom,
+                     config_for_level)
 from .pipeline import STREAMS, EncodedBlock, EncodedStream
 from .utils.bits import get_svarint, get_varint, put_svarint, put_varint
 
 MAGIC = b"SFQT"
 END_MAGIC = b"SFQE"
-VERSION = 1
+VERSION = 2
+
+HEADER_SIZE = {1: 20, 2: 36}
 
 # streams whose per-lane symbol counts the decoder can derive (FLAG from
 # record count; SEQ/QUAL from decoded read lengths) — not stored
 IMPLICIT_COUNTS = frozenset({"FLAG", "SEQ", "QUAL"})
+
+
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    buf = f.read(n)
+    if len(buf) != n:
+        raise ValueError("container truncated (unexpected EOF)")
+    return buf
 
 
 def _write_u32_array(out: bytearray, arr: np.ndarray) -> None:
@@ -65,27 +91,50 @@ def _read_u32_array(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
 
 
 def write_header(f: BinaryIO, cfg: CodecConfig) -> None:
-    f.write(MAGIC)
-    f.write(struct.pack("<HBBIII", VERSION, cfg.level, 0,
-                        cfg.lanes, cfg.aux_lanes, cfg.block_records))
+    hdr = bytearray()
+    hdr += MAGIC
+    hdr += struct.pack("<HBBIII", VERSION, cfg.level, 0,
+                       cfg.lanes, cfg.aux_lanes, cfg.block_records)
+    q, s, b, fl = cfg.qual, cfg.seq, cfg.bytes_, cfg.flags
+    hdr += struct.pack("<11B", q.depth, q.q2_bits, q.pos_bits, q.pos_shift,
+                       q.rate, s.order, s.rate, b.order, b.rate,
+                       fl.hist_bits, fl.rate)
+    hdr += b"\x00"  # reserved
+    hdr += struct.pack("<I", zlib.crc32(bytes(hdr)))
+    f.write(bytes(hdr))
 
 
 def read_header(f: BinaryIO) -> CodecConfig:
-    magic = f.read(4)
+    magic = _read_exact(f, 4)
     if magic != MAGIC:
         raise ValueError("not an sfq container (bad magic)")
-    version, level, _flags, lanes, aux, blockrec = struct.unpack(
-        "<HBBIII", f.read(16))
+    (version,) = struct.unpack("<H", _read_exact(f, 2))
+    if version == 1:
+        level, _flags, lanes, aux, blockrec = struct.unpack(
+            "<BBIII", _read_exact(f, 14))
+        return config_for_level(level, lanes=lanes, aux_lanes=aux,
+                                block_records=blockrec, fmt=1)
     if version != VERSION:
         raise ValueError(f"unsupported sfq version {version}")
-    return config_for_level(level, lanes=lanes, aux_lanes=aux,
+    rest = _read_exact(f, HEADER_SIZE[2] - 6)
+    hdr = magic + struct.pack("<H", version) + rest
+    (crc,) = struct.unpack_from("<I", hdr, HEADER_SIZE[2] - 4)
+    if zlib.crc32(hdr[: HEADER_SIZE[2] - 4]) != crc:
+        raise ValueError("container header CRC mismatch (corrupt file)")
+    level, _flags, lanes, aux, blockrec = struct.unpack_from("<BBIII", hdr, 6)
+    (qd, qq2, qpb, qps, qr, so, sr, bo, br, fh, fr) = struct.unpack_from(
+        "<11B", hdr, 20)
+    base = config_for_level(level, lanes=lanes, aux_lanes=aux,
                             block_records=blockrec)
+    return replace(base, fmt=2,
+                   qual=QualGeom(depth=qd, q2_bits=qq2, pos_bits=qpb,
+                                 pos_shift=qps, rate=qr),
+                   seq=SeqGeom(order=so, rate=sr),
+                   bytes_=ByteGeom(order=bo, rate=br),
+                   flags=FlagGeom(hist_bits=fh, rate=fr))
 
 
-def write_block(f: BinaryIO, blk: EncodedBlock) -> int:
-    """Append one encoded block (CRC32-protected); returns its start
-    offset."""
-    off = f.tell()
+def _block_body(blk: EncodedBlock) -> bytes:
     body = io.BytesIO()
     body.write(struct.pack("<IBBH", blk.num_records, blk.minq,
                            blk.qual_depth, 0))
@@ -98,19 +147,23 @@ def write_block(f: BinaryIO, blk: EncodedBlock) -> int:
         body.write(hdr)
         for w in range(len(es.lane_lens)):
             body.write(es.payload[w, : es.lane_lens[w]].tobytes())
-    raw = body.getvalue()
-    f.write(struct.pack("<I", zlib.crc32(raw)))
+    return body.getvalue()
+
+
+def write_block(f: BinaryIO, blk: EncodedBlock) -> int:
+    """Append one encoded block (CRC32-protected, length-prefixed);
+    returns its start offset."""
+    off = f.tell()
+    raw = _block_body(blk)
+    f.write(struct.pack("<II", zlib.crc32(raw), len(raw)))
     f.write(raw)
     return off
 
 
-def _read_block_header(buf: bytes, pos: int):
-    """Parse one block from a bytes buffer starting at pos.
-    Returns (EncodedBlock-with-None-implicit-counts, end_pos).
-    Raises ValueError on CRC mismatch."""
-    (crc,) = struct.unpack_from("<I", buf, pos)
-    start = pos + 4
-    pos = start
+def _parse_body(buf: bytes, pos: int):
+    """Parse one block body starting at pos. Returns (EncodedBlock, end)."""
+    if len(buf) - pos < 8:
+        raise ValueError("container truncated (short block body)")
     num_records, minq, qual_depth, _ = struct.unpack_from("<IBBH", buf, pos)
     pos += 8
     streams = {}
@@ -120,7 +173,12 @@ def _read_block_header(buf: bytes, pos: int):
         else:
             sym_counts = None
         lane_lens, pos = _read_u32_array(buf, pos)
+        if (lane_lens < 0).any():
+            raise ValueError("negative lane length (corrupt container)")
         maxlen = int(lane_lens.max()) if len(lane_lens) else 0
+        total = int(lane_lens.sum())
+        if pos + total > len(buf):
+            raise ValueError("container truncated (short lane payload)")
         payload = np.zeros((len(lane_lens), maxlen), dtype=np.uint8)
         for w in range(len(lane_lens)):
             L = int(lane_lens[w])
@@ -129,51 +187,101 @@ def _read_block_header(buf: bytes, pos: int):
                                                count=L, offset=pos)
                 pos += L
         streams[name] = EncodedStream(sym_counts, lane_lens, payload)
-    if zlib.crc32(buf[start:pos]) != crc:
-        raise ValueError("block CRC mismatch (corrupt container)")
     return EncodedBlock(num_records, minq, qual_depth, streams), pos
 
 
-def read_block(f: BinaryIO, end: int | None = None) -> EncodedBlock:
-    start = f.tell()
-    if end is None:
-        f.seek(0, 2)
-        end = f.tell()
-        f.seek(start)
-    buf = f.read(end - start)
-    blk, used = _read_block_header(buf, 0)
-    f.seek(start + used)
+def _read_block_v1(buf: bytes, pos: int):
+    """VERSION 1 block: u32 crc | body (no length prefix)."""
+    if len(buf) - pos < 4:
+        raise ValueError("container truncated (short block)")
+    (crc,) = struct.unpack_from("<I", buf, pos)
+    start = pos + 4
+    blk, end = _parse_body(buf, start)
+    if zlib.crc32(buf[start:end]) != crc:
+        raise ValueError("block CRC mismatch (corrupt container)")
+    return blk, end
+
+
+def read_block(f: BinaryIO, fmt: int = VERSION) -> EncodedBlock:
+    """Read one block at the current position. VERSION 2 blocks are
+    length-prefixed, so this reads exactly one block's bytes (bounded
+    memory); VERSION 1 falls back to parsing the remaining buffer."""
+    if fmt == 1:
+        start = f.tell()
+        buf = f.read()
+        blk, used = _read_block_v1(buf, 0)
+        f.seek(start + used)
+        return blk
+    crc, blen = struct.unpack("<II", _read_exact(f, 8))
+    raw = _read_exact(f, blen)
+    if zlib.crc32(raw) != crc:
+        raise ValueError("block CRC mismatch (corrupt container)")
+    blk, used = _parse_body(raw, 0)
+    if used != blen:
+        raise ValueError("block length prefix mismatch (corrupt container)")
     return blk
 
 
+def index_size(n_blocks: int, fmt: int = VERSION) -> int:
+    """On-disk size of the trailing index for n blocks."""
+    return 8 * n_blocks + (12 if fmt >= 2 else 8)
+
+
 def write_index(f: BinaryIO, offsets: list[int]) -> None:
-    for off in offsets:
-        f.write(struct.pack("<Q", off))
-    f.write(struct.pack("<I", len(offsets)))
+    body = b"".join(struct.pack("<Q", off) for off in offsets)
+    body += struct.pack("<I", len(offsets))
+    f.write(body)
+    f.write(struct.pack("<I", zlib.crc32(body)))
     f.write(END_MAGIC)
 
 
-def read_index(f: BinaryIO) -> list[int]:
-    f.seek(-8, 2)
-    n, magic = struct.unpack("<I4s", f.read(8))
+def read_index(f: BinaryIO, fmt: int = VERSION) -> list[int]:
+    f.seek(0, 2)
+    fsize = f.tell()
+    tail = 12 if fmt >= 2 else 8
+    if fsize < tail:
+        raise ValueError("container truncated (no index)")
+    f.seek(-tail, 2)
+    if fmt >= 2:
+        n, crc, magic = struct.unpack("<II4s", _read_exact(f, 12))
+    else:
+        n, magic = struct.unpack("<I4s", _read_exact(f, 8))
+        crc = None
     if magic != END_MAGIC:
         raise ValueError("container truncated (bad end magic); "
                          "use recover_blocks() for partial output")
-    f.seek(-(8 + 8 * n), 2)
-    offs = list(struct.unpack(f"<{n}Q", f.read(8 * n)))
-    f.seek(20)
+    if index_size(n, fmt) > fsize:
+        raise ValueError("implausible index block count (corrupt container)")
+    f.seek(-index_size(n, fmt), 2)
+    body = _read_exact(f, 8 * n + 4)
+    if crc is not None and zlib.crc32(body) != crc:
+        raise ValueError("index CRC mismatch (corrupt container)")
+    offs = list(struct.unpack_from(f"<{n}Q", body, 0))
+    f.seek(HEADER_SIZE.get(fmt, HEADER_SIZE[VERSION]))
     return offs
 
 
-def iter_blocks(f: BinaryIO) -> Iterator[EncodedBlock]:
-    offsets = read_index(f)
-    f.seek(0, 2)
-    end = f.tell()
-    f.seek(0)
-    buf = f.read(end)
+def iter_blocks(f: BinaryIO, cfg: CodecConfig | None = None
+                ) -> Iterator[EncodedBlock]:
+    """Yield blocks in order. VERSION 2: seek-based, one block resident at
+    a time (bounded memory for 100GB-class containers). VERSION 1 keeps the
+    legacy whole-buffer path."""
+    if cfg is None:
+        f.seek(0)
+        cfg = read_header(f)
+    offsets = read_index(f, cfg.fmt)
+    if cfg.fmt == 1:
+        f.seek(0, 2)
+        end = f.tell()
+        f.seek(0)
+        buf = f.read(end)
+        for off in offsets:
+            blk, _ = _read_block_v1(buf, off)
+            yield blk
+        return
     for off in offsets:
-        blk, _ = _read_block_header(buf, off)
-        yield blk
+        f.seek(off)
+        yield read_block(f, cfg.fmt)
 
 
 class Writer:
@@ -203,17 +311,18 @@ class Writer:
     @classmethod
     def resume(cls, path: str) -> tuple["Writer", int]:
         """Reopen an interrupted container. Returns (writer,
-        records_already_written)."""
+        records_already_written). Bounded memory: scans block headers via
+        the length prefixes without materialising payloads."""
         with open(path, "rb") as rf:
-            cfg, offsets = recover_blocks(rf)
+            cfg, offsets, end = recover_blocks(rf)
+            if cfg.fmt < 2:
+                raise ValueError("cannot resume a legacy v1 container")
             done_records = 0
             for off in offsets:
-                rf.seek(off + 4)  # skip CRC
-                n = int.from_bytes(rf.read(4), "little")
-                done_records += n
-            end = offsets and _end_of_block(rf, offsets[-1])
+                rf.seek(off + 8)  # skip CRC + length prefix
+                done_records += struct.unpack("<I", _read_exact(rf, 4))[0]
         f = open(path, "r+b")
-        f.seek(end if offsets else 20)
+        f.seek(end)
         f.truncate()
         return cls(f, cfg, offsets), done_records
 
@@ -229,35 +338,42 @@ class Writer:
             self.closed = True
 
 
-def _end_of_block(f: BinaryIO, off: int) -> int:
-    f.seek(0, 2)
-    end = f.tell()
-    f.seek(0)
-    buf = f.read(end)
-    _, newpos = _read_block_header(buf, off)
-    return newpos
-
-
-def recover_blocks(f: BinaryIO) -> tuple[CodecConfig, list[int]]:
-    """Scan a truncated container (no index) and return offsets of every
-    complete block — the resume path for interrupted multi-host runs
-    (SURVEY.md §5 checkpoint/resume)."""
+def recover_blocks(f: BinaryIO) -> tuple[CodecConfig, list[int], int]:
+    """Scan a truncated container (no index) and return (cfg, offsets of
+    every complete block, end offset of the last complete block) — the
+    resume path for interrupted multi-host runs (SURVEY.md §5
+    checkpoint/resume). VERSION 2 scans block-at-a-time via the length
+    prefixes (bounded memory, CRC-verified); VERSION 1 keeps the legacy
+    whole-buffer parse."""
     f.seek(0)
     cfg = read_header(f)
     start = f.tell()
     f.seek(0, 2)
     end = f.tell()
-    f.seek(0)
-    buf = f.read(end)
     offsets = []
     pos = start
-    while pos < end:
-        try:
-            _blk, newpos = _read_block_header(buf, pos)
-            if newpos > end:
+    if cfg.fmt == 1:
+        f.seek(0)
+        buf = f.read(end)
+        while pos < end:
+            try:
+                _blk, newpos = _read_block_v1(buf, pos)
+                if newpos > end:
+                    break
+            except (struct.error, IndexError, ValueError):
                 break
-        except (struct.error, IndexError, ValueError):
+            offsets.append(pos)
+            pos = newpos
+        return cfg, offsets, pos
+    f.seek(start)
+    while pos + 8 <= end:
+        crc, blen = struct.unpack("<II", _read_exact(f, 8))
+        if blen < 8 or pos + 8 + blen > end:
+            break
+        raw = _read_exact(f, blen)
+        if zlib.crc32(raw) != crc:
             break
         offsets.append(pos)
-        pos = newpos
-    return cfg, offsets
+        pos += 8 + blen
+        f.seek(pos)
+    return cfg, offsets, pos

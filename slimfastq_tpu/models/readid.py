@@ -2,11 +2,12 @@
 SURVEY.md §2 "Read-ID codec": alternating text/numeric segments, numeric
 deltas vs the previous record, structural changes to an exception stream).
 
-TPU-first re-design: "previous record" is *lane-local* (record r-W in file
-order, where W is the lane count), so every lane's delta chain is
-independent and the streams feed the interleaved coder without cross-lane
-serialisation. Illumina IDs increment coordinates by small amounts, so a
-stride-W delta is still cheap to code.
+Frozen-format note: the delta baseline is the *globally previous* record
+r-1 in file order (NOT lane-local r-W). ID/length delta modeling runs
+serially on the host either way; only the emitted delta/exception byte
+streams are interleaved over aux lanes for device coding. Both this module
+and native/host.cpp implement the same global-r-1 rule; changing it would
+break bit-format compatibility.
 
 Host-side (string-shaped, cheap); the produced symbol streams are
 entropy-coded on device (SURVEY.md §3.5 doctrine: hosts own parsing).

@@ -25,12 +25,14 @@ def _build() -> bool:
         if (os.path.exists(_SO)
                 and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
             return True
-        r = subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _SO + ".tmp"],
-            capture_output=True, text=True)
-        if r.returncode != 0:
-            return False
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-std=c++17", "-fopenmp", _SRC, "-o", _SO + ".tmp"]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:  # retry without OpenMP (optional dep)
+            r = subprocess.run([c for c in cmd if c != "-fopenmp"],
+                               capture_output=True, text=True)
+            if r.returncode != 0:
+                return False
         os.replace(_SO + ".tmp", _SO)
         return True
     except (OSError, subprocess.SubprocessError):
@@ -72,11 +74,22 @@ def _load():
     lib.pack_lanes.restype = i64
     lib.pack_lanes.argtypes = [p8, pi64, pi64, i64, i64, i64, p8,
                                ctypes.c_int32, pu32, pi64]
+    lib.pack_lanes2.restype = i64
+    lib.pack_lanes2.argtypes = [p8, pi64, pi64, i64, i64, i64, p8,
+                                ctypes.c_int32, pu32, pi64, pi32]
+    lib.transpose_u32.restype = None
+    lib.transpose_u32.argtypes = [pu32, pu32, i64, i64]
     lib.unpack_lanes.restype = i64
     lib.unpack_lanes.argtypes = [pu32, pi64, i64, i64, i64, p8,
                                  ctypes.c_int32, p8, pi64]
     lib.minmax_ranges.restype = None
     lib.minmax_ranges.argtypes = [p8, pi64, pi64, i64, pi64, pi64]
+    lib.compact_lanes.restype = i64
+    lib.compact_lanes.argtypes = [p8, pi32, pu32, pi64, i64, i64, i64, i64,
+                                  p8, i64, pi64]
+    lib.seqx_encode.restype = i64
+    lib.seqx_encode.argtypes = [p8, pi64, pi64, i64, i64, p8, i64, pi64,
+                                pi32]
 
 
 _load()
@@ -163,8 +176,10 @@ def ids_encode(data, idx: dict, n: int, wa: int):
     xstride = 4 * (total_id + total_plus) // max(wa, 1) + 16 * rec_per_lane \
         + 64
     for attempt in range(2):
-        delta = np.zeros(wa * dstride, dtype=np.uint8)
-        exc = np.zeros(wa * xstride, dtype=np.uint8)
+        # np.empty: C++ writes sizes[w] bytes per row and only those are
+        # sliced out below (zeroing 8MB arenas measured ~3ms/block)
+        delta = np.empty(wa * dstride, dtype=np.uint8)
+        exc = np.empty(wa * xstride, dtype=np.uint8)
         dsizes = np.zeros(wa, dtype=np.int64)
         xsizes = np.zeros(wa, dtype=np.int64)
         r = lib.ids_encode(_p8(buf), _pi64(idx["id_off"]),
@@ -220,16 +235,23 @@ def _pu32(a: np.ndarray):
 def pack_lanes(src: np.ndarray, offs: np.ndarray, lens: np.ndarray,
                W: int, S: int, map256: np.ndarray | None = None,
                bias: int = 0):
-    """Returns (mat [S, W] uint32, lane_totals [W], n_bad)."""
+    """Returns (mat [S, W] uint32, lane_totals [W], n_bad, rec_bad [n]).
+
+    OpenMP record-parallel fill + blocked C++ transpose (the NumPy
+    `ascontiguousarray(matT.T)` copy measured ~13 ms per 26 MB matrix)."""
     n = len(offs)
     matT = np.zeros((W, max(S, 1)), dtype=np.uint32)
     totals = np.zeros(W, dtype=np.int64)
+    rec_bad = np.zeros(max(n, 1), dtype=np.int32)
     mp = _p8(map256) if map256 is not None else \
         ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
-    bad = lib.pack_lanes(_p8(src), _pi64(np.ascontiguousarray(offs)),
-                         _pi64(np.ascontiguousarray(lens)), n, W,
-                         max(S, 1), mp, bias, _pu32(matT), _pi64(totals))
-    return np.ascontiguousarray(matT.T)[:S], totals, int(bad)
+    bad = lib.pack_lanes2(_p8(src), _pi64(np.ascontiguousarray(offs)),
+                          _pi64(np.ascontiguousarray(lens)), n, W,
+                          max(S, 1), mp, bias, _pu32(matT), _pi64(totals),
+                          _pi32(rec_bad))
+    mat = np.empty((max(S, 1), W), dtype=np.uint32)
+    lib.transpose_u32(_pu32(matT), _pu32(mat), W, max(S, 1))
+    return mat[:S], totals, int(bad), rec_bad[:n]
 
 
 def unpack_lanes(mat: np.ndarray, lens: np.ndarray, W: int,
@@ -246,6 +268,52 @@ def unpack_lanes(mat: np.ndarray, lens: np.ndarray, W: int,
                      len(lens), W, max(S, 1), mp, bias, _p8(out),
                      _pi64(np.ascontiguousarray(out_offs)))
     return out
+
+
+def compact_lanes(ebufs: np.ndarray, eptrs: np.ndarray, low: np.ndarray,
+                  counts: np.ndarray, CB: int, flush_bytes: int):
+    """Dense per-chunk emission buffers -> (payload [W, maxlen], lens[W])."""
+    NC, W = eptrs.shape
+    eptrs = np.ascontiguousarray(eptrs, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    totals = eptrs.sum(axis=0, dtype=np.int64)
+    act = counts > 0
+    maxlen = int((totals[act].max() if act.any() else 0) + flush_bytes)
+    payload = np.zeros((W, max(maxlen, 1)), dtype=np.uint8)
+    lens = np.zeros(W, dtype=np.int64)
+    r = lib.compact_lanes(_p8(np.ascontiguousarray(ebufs)), _pi32(eptrs),
+                          _pu32(np.ascontiguousarray(low, dtype=np.uint32)),
+                          _pi64(counts), NC, W, CB, flush_bytes,
+                          _p8(payload), max(maxlen, 1), _pi64(lens))
+    if r < 0:
+        raise RuntimeError("compact_lanes overflow")
+    return payload[:, :maxlen], lens
+
+
+def seqx_encode(src: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+                wa: int, rec_bad: np.ndarray | None = None
+                ) -> list[np.ndarray]:
+    """Run-length non-ACGT exception lane streams (format v2). With
+    rec_bad (per-record exception counts from pack_lanes), clean records
+    are skipped without rescanning their bytes."""
+    n = len(offs)
+    total = int(np.asarray(lens).sum())
+    # worst case: alternating exception chars -> ~13 bytes per exception;
+    # bound by total sequence bytes * 13 spread over lanes + slack
+    stride = 13 * (total // max(wa, 1)) + 13 * ((n + wa - 1) // max(wa, 1)) \
+        + 64
+    arena = np.empty(wa * stride, dtype=np.uint8)
+    sizes = np.zeros(wa, dtype=np.int64)
+    rb = _pi32(np.ascontiguousarray(rec_bad, dtype=np.int32)) \
+        if rec_bad is not None else \
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+    r = lib.seqx_encode(_p8(src), _pi64(np.ascontiguousarray(offs)),
+                        _pi64(np.ascontiguousarray(lens)), n, wa,
+                        _p8(arena), stride, _pi64(sizes), rb)
+    if r < 0:
+        raise RuntimeError("seqx_encode overflow")
+    return [arena[w * stride: w * stride + sizes[w]].copy()
+            for w in range(wa)]
 
 
 def minmax_ranges(src: np.ndarray, offs: np.ndarray, lens: np.ndarray):

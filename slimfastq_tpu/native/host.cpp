@@ -101,7 +101,8 @@ static inline bool get_varint(const uint8_t* buf, int64_t n, int64_t& pos,
 }
 
 // ---------------------------------------------------------------------------
-// LEN stream: svarint(length - prev_length), aux-lane-local previous.
+// LEN stream: svarint(length - prev_length), globally previous record
+// r-1 (frozen format rule; matches pipeline.py).
 // out buffers sized by caller (max 10 bytes/record). Returns per-lane and
 // per-record byte boundaries via rec_nbytes.
 // ---------------------------------------------------------------------------
@@ -167,20 +168,33 @@ static bool digit_value(const uint8_t* s, int64_t len, int64_t& v) {
 // -1 if it cannot match
 static int64_t render(const uint8_t* prev_tok, int64_t prev_len,
                       int64_t value, uint8_t* out, int64_t cap) {
+    // hand-rolled decimal render (snprintf here measured ~25 ms per 64k
+    // records). Semantics identical to "%0*lld"/"%lld": zero-pad to the
+    // previous token's width when it had a leading zero.
     char tmp[32];
-    int len;
-    if (prev_len > 1 && prev_tok[0] == '0') {
-        len = snprintf(tmp, sizeof tmp, "%0*lld", (int)prev_len,
-                       (long long)value);
-    } else {
-        len = snprintf(tmp, sizeof tmp, "%lld", (long long)value);
+    bool neg = value < 0;
+    uint64_t v = neg ? (uint64_t)(-value) : (uint64_t)value;
+    int digits = 0;
+    char* p = tmp + 31;
+    do { *p-- = (char)('0' + v % 10); v /= 10; digits++; } while (v);
+    bool pad = prev_len > 1 && prev_tok[0] == '0';
+    int len = digits + (neg ? 1 : 0);
+    if (pad && !neg && (int64_t)digits < prev_len) {
+        while ((int64_t)digits < prev_len) { *p-- = '0'; digits++; }
+        len = digits;
+    } else if (pad && neg && (int64_t)(digits + 1) < prev_len) {
+        // "%0*lld" puts the sign before the zeros
+        while ((int64_t)(digits + 1) < prev_len) { *p-- = '0'; digits++; }
+        len = digits + 1;
     }
-    if (len < 0 || len > cap) return -1;
-    memcpy(out, tmp, len);
+    if (neg) *p-- = '-';
+    if (len > cap) return -1;
+    memcpy(out, p + 1, (size_t)len);
     return len;
 }
 
-// Encode n record IDs + plus lines (aux-lane-local previous = record r-wa).
+// Encode n record IDs + plus lines (previous = globally previous record
+// r-1, the frozen format rule; only the emitted streams are lane-interleaved).
 // flags_out: 3 bytes/record in lane-stream order [id_exc, plus_plain,
 // plus_idcopy] — identical to pipeline.py. Plus-line exceptions interleave
 // with ID exceptions per record in the per-lane exception stream, exactly
@@ -196,20 +210,20 @@ int64_t ids_encode(const uint8_t* data,
                    int64_t* exc_sizes) {
     std::vector<Tok> pt, ct;
     std::vector<std::vector<uint8_t>> dbuf(wa), xbuf(wa);
+    std::vector<uint8_t> tmp;  // hoisted: per-record alloc churn was ~2x
     for (int64_t r = 0; r < n; r++) {
         int64_t w = r % wa;
         const uint8_t* cur = data + id_off[r];
         int64_t cn = id_len[r];
         bool ok = false;
-        std::vector<uint8_t> deltas;
+        // token cache: this record's tokens become `pt` next iteration
+        // (the previous record is always r-1), halving tokenize work
+        tokenize(cur, cn, ct);
         if (r >= 1) {
             const uint8_t* prev = data + id_off[r - 1];
-            int64_t pn = id_len[r - 1];
-            tokenize(prev, pn, pt);
-            tokenize(cur, cn, ct);
+            tmp.clear();
             if (pt.size() == ct.size()) {
                 ok = true;
-                std::vector<uint8_t> tmp;
                 for (size_t t = 0; t < pt.size() && ok; t++) {
                     if (pt[t].digit != ct[t].digit) { ok = false; break; }
                     if (!pt[t].digit) {
@@ -241,12 +255,11 @@ int64_t ids_encode(const uint8_t* data,
                     }
                     put_varint(tmp, zigzag(cv - pv));
                 }
-                if (ok) deltas.swap(tmp);
             }
         }
         if (ok) {
             flags_out[3 * r] = 0;
-            dbuf[w].insert(dbuf[w].end(), deltas.begin(), deltas.end());
+            dbuf[w].insert(dbuf[w].end(), tmp.begin(), tmp.end());
         } else {
             flags_out[3 * r] = 1;
             put_varint(xbuf[w], (uint64_t)cn);
@@ -268,6 +281,7 @@ int64_t ids_encode(const uint8_t* data,
             put_varint(xbuf[w], (uint64_t)pln);
             xbuf[w].insert(xbuf[w].end(), pl, pl + pln);
         }
+        pt.swap(ct);  // cur tokens become prev tokens for record r+1
     }
     for (int64_t w = 0; w < wa; w++) {
         if ((int64_t)dbuf[w].size() > delta_stride ||
@@ -472,6 +486,155 @@ int64_t unpack_lanes(const uint32_t* mat /*[W*S]*/, const int64_t* lens,
 }
 
 // min/max over all record ranges in one pass (for quality biasing)
+// ---------------------------------------------------------------------------
+// Emission compaction: dense per-chunk device buffers -> per-lane payload
+// rows + flush tail. Replaces the NumPy boolean-take compactor (measured
+// 0.3 s/stream at NC=800, W=1024 on CPU; this is a straight memcpy pass).
+// ebufs: [NC, W*CB] uint8; eptrs: [NC, W] int32 (valid bytes per chunk);
+// low: uint32[W] coder state for the flush bytes; counts: int64[W]
+// (lanes with counts<=0 emit nothing). payload out: [W, maxlen];
+// lens out: int64[W]. Returns 0, or -1 if maxlen is too small.
+// ---------------------------------------------------------------------------
+int64_t compact_lanes(const uint8_t* ebufs, const int32_t* eptrs,
+                      const uint32_t* low, const int64_t* counts,
+                      int64_t NC, int64_t W, int64_t CB,
+                      int64_t flush_bytes,
+                      uint8_t* payload, int64_t maxlen, int64_t* lens) {
+    for (int64_t w = 0; w < W; w++) {
+        if (counts[w] <= 0) { lens[w] = 0; continue; }
+        uint8_t* dst = payload + w * maxlen;
+        int64_t off = 0;
+        for (int64_t c = 0; c < NC; c++) {
+            int32_t nb = eptrs[c * W + w];
+            if (nb > 0) {
+                if (off + nb > maxlen) return -1;
+                memcpy(dst + off, ebufs + c * (W * CB) + w * CB,
+                       (size_t)nb);
+                off += nb;
+            }
+        }
+        if (off + flush_bytes > maxlen) return -1;
+        uint32_t lw = low[w];
+        for (int64_t j = 0; j < flush_bytes; j++)
+            dst[off + j] = (uint8_t)(lw >> (24 - 8 * j));
+        lens[w] = off + flush_bytes;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// pack_lanes2: OpenMP record-parallel lane packing. Writes the [W, S]
+// transposed matrix (contiguous per record) + per-record non-ACGT flags;
+// pair with transpose_u32 for the [S, W] kernel layout. Per-record row
+// starts are a cheap serial prefix; the fill is embarrassingly parallel.
+// ---------------------------------------------------------------------------
+int64_t pack_lanes2(const uint8_t* src, const int64_t* offs,
+                    const int64_t* lens, int64_t n, int64_t W, int64_t S,
+                    const uint8_t* map256, int32_t bias,
+                    uint32_t* matT /*[W*S]*/, int64_t* lane_totals,
+                    int32_t* rec_bad /*[n]*/) {
+    std::vector<int64_t> rec_start(n);
+    for (int64_t w = 0; w < W; w++) lane_totals[w] = 0;
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % W;
+        rec_start[r] = lane_totals[w];
+        lane_totals[w] += lens[r];
+    }
+    int64_t nbad = 0;
+#pragma omp parallel for schedule(static) reduction(+:nbad)
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % W;
+        uint32_t* row = matT + w * S + rec_start[r];
+        const uint8_t* s = src + offs[r];
+        int64_t L = lens[r];
+        int32_t bad = 0;
+        if (map256) {
+            for (int64_t i = 0; i < L; i++) {
+                uint8_t v = map256[s[i]];
+                bad += (v == 255);
+                row[i] = (v == 255) ? 0u : (uint32_t)v;
+            }
+        } else {
+            for (int64_t i = 0; i < L; i++)
+                row[i] = (uint32_t)(int32_t(s[i]) - bias);
+        }
+        if (rec_bad) rec_bad[r] = bad;
+        nbad += bad;
+    }
+    return nbad;
+}
+
+// Blocked OpenMP transpose [W, S] u32 -> [S, W] u32.
+void transpose_u32(const uint32_t* in, uint32_t* out, int64_t W,
+                   int64_t S) {
+    const int64_t B = 64;
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int64_t s0 = 0; s0 < S; s0 += B)
+        for (int64_t w0 = 0; w0 < W; w0 += B) {
+            int64_t s1 = s0 + B < S ? s0 + B : S;
+            int64_t w1 = w0 + B < W ? w0 + B : W;
+            for (int64_t s = s0; s < s1; s++)
+                for (int64_t w = w0; w < w1; w++)
+                    out[s * W + w] = in[w * S + s];
+        }
+}
+
+// ---------------------------------------------------------------------------
+// Run-length non-ACGT exception streams (container format v2; mirrors
+// pipeline.stream_jobs / seqx_runs byte-for-byte), aux-lane-local.
+// Per exception run: first run of a record emits varint(ordinal -
+// prev_exc_ordinal[lane]) + varint(start); later runs varint(0) +
+// varint(start - prev_run_end); then varint(run_len - 1) + raw char.
+// arena: wa rows of `stride` bytes; sizes out per lane. Returns total
+// bytes, or -1 on overflow (caller retries with a bigger stride).
+// ---------------------------------------------------------------------------
+int64_t seqx_encode(const uint8_t* src, const int64_t* offs,
+                    const int64_t* lens, int64_t n, int64_t wa,
+                    uint8_t* arena, int64_t stride, int64_t* sizes,
+                    const int32_t* rec_bad /*optional [n]: skip clean recs*/) {
+    std::vector<std::vector<uint8_t>> bufs(wa);
+    std::vector<int64_t> prev_xrec(wa, -1);
+    for (int64_t r = 0; r < n; r++) {
+        if (rec_bad && rec_bad[r] == 0) continue;
+        const uint8_t* s = src + offs[r];
+        int64_t L = lens[r];
+        int64_t w = r % wa;
+        int64_t ordinal = r / wa;
+        int64_t prev_end = 0;
+        bool first = true;
+        int64_t i = 0;
+        while (i < L) {
+            uint8_t c = s[i];
+            if (c == 'A' || c == 'C' || c == 'G' || c == 'T') { i++; continue; }
+            int64_t st = i;
+            while (i < L && s[i] == c) i++;
+            int64_t ln = i - st;
+            std::vector<uint8_t>& xb = bufs[w];
+            if (first) {
+                put_varint(xb, (uint64_t)(ordinal - prev_xrec[w]));
+                put_varint(xb, (uint64_t)st);
+                first = false;
+            } else {
+                put_varint(xb, 0);
+                put_varint(xb, (uint64_t)(st - prev_end));
+            }
+            put_varint(xb, (uint64_t)(ln - 1));
+            xb.push_back(c);
+            prev_end = st + ln - 1;
+        }
+        if (!first) prev_xrec[w] = ordinal;
+    }
+    int64_t total = 0;
+    for (int64_t w = 0; w < wa; w++) {
+        int64_t sz = (int64_t)bufs[w].size();
+        if (sz > stride) return -1;
+        if (sz) memcpy(arena + w * stride, bufs[w].data(), (size_t)sz);
+        sizes[w] = sz;
+        total += sz;
+    }
+    return total;
+}
+
 void minmax_ranges(const uint8_t* src, const int64_t* offs,
                    const int64_t* lens, int64_t n, int64_t* mn_out,
                    int64_t* mx_out) {

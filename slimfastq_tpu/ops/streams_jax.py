@@ -339,7 +339,14 @@ def _build_encode(kind: str, geom, Sp: int, W: int, hard: bool):
 
 def _compact_host(ebufs, eptrs, low, counts, CB):
     """Host compaction: dense chunk buffers -> per-lane byte streams, then
-    the 4 flush bytes; lanes with zero symbols contribute nothing."""
+    the 4 flush bytes; lanes with zero symbols contribute nothing.
+
+    Fast path: native/host.cpp compact_lanes (one memcpy pass; the NumPy
+    boolean-take fallback below measured 0.3 s/stream at NC=800, W=1024)."""
+    from .. import native
+    if native.available():
+        return native.compact_lanes(ebufs, eptrs, low, counts, CB,
+                                    R.FLUSH_BYTES)
     NC, W = eptrs.shape
     bufs = ebufs.reshape(NC, W, CB).transpose(1, 0, 2)
     ptrs = eptrs.T  # [W, NC]

@@ -92,13 +92,32 @@ def encode_stream_blocks(kind: str, geom, mesh: Mesh,
                          pos_list=None, reset_list=None):
     """Encode many blocks' worth of one stream, sharded over the mesh.
 
-    Every block is padded to the common lockstep length; output is a list of
+    Blocks are grouped by their own pad_steps bucket before batching: the
+    lockstep step count is part of the bit format (flush position), so
+    batching a short block with longer ones would change its bytes
+    (ADVICE.md round-1 medium finding). Within a group every block shares
+    pad_steps, so padding is a no-op format-wise. Output is a list of
     (payload, lens) per block, byte-identical to per-block sequential
     encoding (the correctness gate in tests/test_parallel.py).
     """
     B = len(syms_list)
     if B == 0:
         return []
+    groups: dict[int, list[int]] = {}
+    for b, s in enumerate(syms_list):
+        groups.setdefault(R.pad_steps(max(s.shape[0], 1)), []).append(b)
+    if len(groups) > 1:
+        results: list = [None] * B
+        for sp, idxs in groups.items():
+            sub = encode_stream_blocks(
+                kind, geom, mesh,
+                [syms_list[b] for b in idxs],
+                [counts_list[b] for b in idxs],
+                None if pos_list is None else [pos_list[b] for b in idxs],
+                None if reset_list is None else [reset_list[b] for b in idxs])
+            for i, b in enumerate(idxs):
+                results[b] = sub[i]
+        return results
     W = syms_list[0].shape[1]
     S = max((s.shape[0] for s in syms_list), default=0)
     Sp = R.pad_steps(max(S, 1))

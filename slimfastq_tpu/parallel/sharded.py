@@ -24,14 +24,23 @@ from . import mesh as pmesh
 
 def _blocks_jobs(data: bytes, cfg: CodecConfig):
     """Host-side modeling for every block. Returns (list of job-dicts,
-    list of (n, minq, qual_depth))."""
+    list of (n, minq, qual_depth)). Uses the native (C++/vectorised) job
+    builder when available — the same host prep as the sequential API, so
+    sharded and sequential paths share one implementation."""
     all_jobs = []
     metas = []
     if native.available():
-        from ..pipeline_native import encode_block_fast  # noqa: F401
-        # reuse the reference stream_jobs via batch slicing for simplicity;
-        # the native fast path is used by the sequential API. Sharded host
-        # prep can adopt pipeline_native job building in a later round.
+        import numpy as np
+        from ..pipeline_native import stream_jobs_fast
+        buf = np.frombuffer(data, dtype=np.uint8)
+        idx, n = native.fastq_index(data)
+        for lo in range(0, max(n, 1), cfg.block_records):
+            hi = min(lo + cfg.block_records, n)
+            jobs, nb, minq, qd, _ll = stream_jobs_fast(buf, idx, lo, hi,
+                                                       cfg)
+            all_jobs.append(jobs)
+            metas.append((nb, minq, qd))
+        return all_jobs, metas
     batch = parse_fastq_bytes(data)
     n = len(batch)
     for lo in range(0, max(n, 1), cfg.block_records):
@@ -107,7 +116,7 @@ def decode_fastq_sharded(data: bytes, mesh=None) -> bytes:
     mesh = mesh or pmesh.make_mesh()
     f = io.BytesIO(data)
     cfg = container.read_header(f)
-    blocks = list(container.iter_blocks(f))
+    blocks = list(container.iter_blocks(f, cfg))
     if not blocks:
         return b""
 
@@ -124,25 +133,11 @@ def decode_fastq_sharded(data: bytes, mesh=None) -> bytes:
     lens_list, counts_list, steps_list = [], [], []
     pay_seq, len_seq, pay_q, len_q, qgeoms = [], [], [], [], []
     lengths_per_block = []
+    from ..pipeline import decode_block_lengths
     for blk in blocks:
-        # decode LEN stream only (cheap, aux lanes) to get read lengths
-        from ..pipeline_native import decode_block_fast  # noqa: F401
-        es = blk.streams["LEN"]
-        S = int(np.asarray(es.sym_counts).max()) if len(es.sym_counts) else 0
-        syms = streams_jax.decode_stream("byte", cfg.bytes_, es.payload,
-                                         es.lane_lens, es.sym_counts, S)
-        from ..pipeline import _from_lane_streams
-        from ..utils.bits import get_svarint
-        lanes_b = _from_lane_streams(syms, np.asarray(es.sym_counts))
-        n = blk.num_records
-        lengths = np.zeros(n, dtype=np.int64)
-        prev = 0
-        pos_ = [0] * cfg.aux_lanes
-        for r in range(n):
-            w = r % cfg.aux_lanes
-            d, pos_[w] = get_svarint(lanes_b[w], pos_[w])
-            lengths[r] = prev + d
-            prev = int(lengths[r])
+        # decode LEN stream only (cheap, aux lanes) to get read lengths —
+        # shared format logic with the sequential decoder (no drift)
+        lengths = decode_block_lengths(blk, cfg, backend=streams_jax)
         lengths_per_block.append(lengths)
         ll = _lane_lengths_matrix(lengths, W)
         counts = ll.sum(axis=0)

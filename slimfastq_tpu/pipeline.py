@@ -125,6 +125,55 @@ def _gather_record_symbols(syms: np.ndarray, lengths: np.ndarray, W: int
     return out
 
 
+def seqx_runs(bad_pos: np.ndarray, s: np.ndarray
+              ) -> list[tuple[int, int, int]]:
+    """Group sorted exception positions into maximal (start, len, char)
+    runs of consecutive positions holding an identical character."""
+    rs = int(bad_pos[0])
+    ch = int(s[rs])
+    ln = 1
+    runs: list[tuple[int, int, int]] = []
+    for p in bad_pos[1:]:
+        p = int(p)
+        if p == rs + ln and int(s[p]) == ch:
+            ln += 1
+        else:
+            runs.append((rs, ln, ch))
+            rs, ln, ch = p, 1, int(s[p])
+    runs.append((rs, ln, ch))
+    return runs
+
+
+def parse_seqx_lane(buf, fmt: int) -> list[tuple[int, int, int]]:
+    """Parse one aux-lane SEQX stream into (record_ordinal, pos, char)
+    triples. fmt>=2 items are (drec, dstart, runlen-1, char) run records;
+    fmt==1 items are per-base (drec, dpos, char)."""
+    out: list[tuple[int, int, int]] = []
+    p = 0
+    ordinal = -1
+    prev_end = 0
+    prev_pos = -1
+    while p < len(buf):
+        drec, p = get_varint(buf, p)
+        dpos, p = get_varint(buf, p)
+        if fmt >= 2:
+            runl, p = get_varint(buf, p)
+        else:
+            runl = 0
+        ch = buf[p]
+        p += 1
+        if drec:
+            ordinal += drec
+            start = dpos
+        else:
+            start = (prev_end + dpos) if fmt >= 2 else (prev_pos + dpos)
+        for k in range(runl + 1):
+            out.append((ordinal, start + k, int(ch)))
+        prev_end = start + runl
+        prev_pos = start
+    return out
+
+
 def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
     """Host-side modeling: produce every stream's (kind, geom, syms, counts,
     pos, reset) coding job plus the block metadata. Used by encode_block and
@@ -164,9 +213,13 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
             idx_lane[w] += plus
         flag_rec.append(bytes([f_id, f_pp, f_pc]))
 
-    # --- sequence: 2-bit codes + exceptions -------------------------------
-    # Exception coordinates are (record, position) deltas, aux-lane-local:
-    # varint(rec_ordinal_delta); varint(pos) if new record else varint(pos_gap)
+    # --- sequence: 2-bit codes + run-length exceptions --------------------
+    # Non-ACGT bases come in runs (N homopolymers); coding them per run
+    # instead of per base makes an all-N read cost O(1) exception bytes
+    # (SURVEY.md §2 sequence codec: N-runs handled out-of-band).
+    # Format v2 per run, aux-lane-local: varint(rec_ordinal_delta);
+    # varint(start) if new record else varint(start - prev_run_end);
+    # varint(run_len - 1); char.
     seq_codes: list[np.ndarray] = []
     seqx_rec: list[bytearray] = []
     prev_xrec = [-1] * Wa  # per aux-lane ordinal of last record with an exc
@@ -178,19 +231,19 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
         if bad.any():
             w = r % Wa
             ordinal = r // Wa
-            prev_p = -1
-            first = True
-            for p in np.nonzero(bad)[0]:
-                p = int(p)
-                if first:
+            bp = np.nonzero(bad)[0]
+            runs = seqx_runs(bp, s)
+            prev_end = 0
+            for i, (st, ln, ch) in enumerate(runs):
+                if i == 0:
                     put_varint(xb, ordinal - prev_xrec[w])
-                    put_varint(xb, p)
-                    first = False
+                    put_varint(xb, st)
                 else:
                     put_varint(xb, 0)
-                    put_varint(xb, p - prev_p)
-                xb.append(int(s[p]))
-                prev_p = p
+                    put_varint(xb, st - prev_end)
+                put_varint(xb, ln - 1)
+                xb.append(ch)
+                prev_end = st + ln - 1
             prev_xrec[w] = ordinal
             codes = np.where(bad, 0, codes)
         seqx_rec.append(xb)
@@ -203,7 +256,9 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
     else:
         minq, maxq = 33, 33
     qrange = maxq - minq + 1
-    qual_depth = 6 if qrange <= 64 else 7
+    # depth-8 fallback keeps the lossless guarantee for blocks whose quality
+    # alphabet spans more than 128 values (any byte value is representable)
+    qual_depth = 6 if qrange <= 64 else (7 if qrange <= 128 else 8)
     qual_syms_rec = [
         (np.frombuffer(q, dtype=np.uint8).astype(U32) - U32(minq))
         for q in batch.quals
@@ -246,6 +301,29 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
     return jobs, n, int(minq), qual_depth
 
 
+def decode_block_lengths(blk: EncodedBlock, cfg: CodecConfig,
+                         backend=streams_np) -> np.ndarray:
+    """Decode just the LEN stream of a block into per-record read lengths
+    (the single piece every decode path needs first, shared so the format
+    logic lives in exactly one place)."""
+    es = blk.streams["LEN"]
+    S = int(es.sym_counts.max()) if es.sym_counts.size else 0
+    syms = backend.decode_stream("byte", cfg.bytes_, es.payload,
+                                 es.lane_lens, es.sym_counts, S)
+    lanes = _from_lane_streams(syms, np.asarray(es.sym_counts))
+    n = blk.num_records
+    Wa = cfg.aux_lanes
+    lengths = np.zeros(n, dtype=np.int64)
+    prev_len = 0
+    lane_pos = [0] * Wa
+    for r in range(n):
+        w = r % Wa
+        d, lane_pos[w] = get_svarint(lanes[w], lane_pos[w])
+        lengths[r] = prev_len + d
+        prev_len = int(lengths[r])
+    return lengths
+
+
 def encode_block(batch: FastqBatch, cfg: CodecConfig,
                  backend=streams_np) -> EncodedBlock:
     jobs, n, minq, qual_depth = stream_jobs(batch, cfg)
@@ -272,16 +350,7 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
                                      es.sym_counts, S, pos=pos, reset=reset)
 
     # 1. lengths
-    len_syms = dec_bytes("LEN")
-    len_lanes = _from_lane_streams(len_syms, blk.streams["LEN"].sym_counts)
-    lengths = np.zeros(n, dtype=np.int64)
-    prev_len = 0
-    lane_pos = [0] * Wa
-    for r in range(n):
-        w = r % Wa
-        d, lane_pos[w] = get_svarint(len_lanes[w], lane_pos[w])
-        lengths[r] = prev_len + d
-        prev_len = int(lengths[r])
+    lengths = decode_block_lengths(blk, cfg, backend)
 
     # 2. flags (counts implicit: 3 per record, round-robin over aux lanes)
     fs = blk.streams["FLAG"]
@@ -326,18 +395,7 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
     sx_lanes = _from_lane_streams(sx_syms, blk.streams["SEQX"].sym_counts)
     exc_by_rec: dict[int, list[tuple[int, int]]] = {}
     for w in range(Wa):
-        buf, p = sx_lanes[w], 0
-        ordinal, bpos = -1, -1
-        while p < len(buf):
-            drec, p = get_varint(buf, p)
-            dpos_, p = get_varint(buf, p)
-            if drec:
-                ordinal += drec
-                bpos = dpos_
-            else:
-                bpos += dpos_
-            ch = buf[p]
-            p += 1
+        for ordinal, bpos, ch in parse_seqx_lane(sx_lanes[w], cfg.fmt):
             exc_by_rec.setdefault(w + ordinal * Wa, []).append((bpos, ch))
 
     # 5/6. seq + qual lane streams

@@ -77,8 +77,14 @@ def _per_record_lane_layout(lengths: np.ndarray, W: int):
     return order, lane_totals, glens
 
 
-def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
-                      cfg: CodecConfig, backend) -> EncodedBlock:
+def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
+                     cfg: CodecConfig, want_pos_reset: bool = True):
+    """Native/vectorised twin of pipeline.stream_jobs: builds every
+    stream's (kind, geom, syms, counts, pos, reset) coding job straight
+    from the raw buffer + index arrays (no per-record Python objects).
+    Returns (jobs, n, minq, qual_depth, ll_mat). With
+    want_pos_reset=False, SEQ/QUAL jobs carry pos=reset=None and callers
+    derive them on device from ll_mat (encode_stream_ll)."""
     n = hi - lo
     W, Wa = cfg.lanes, cfg.aux_lanes
     sl = slice(lo, hi)
@@ -90,12 +96,7 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     qual_off = idx["qual_off"][sl]
     lengths = idx["seq_len"][sl].astype(np.int64)
 
-    streams: dict[str, EncodedStream] = {}
-
-    def enc(name, kind, geom, syms, counts, pos=None, reset=None):
-        payload, lens = backend.encode_stream(kind, geom, syms, counts,
-                                              pos=pos, reset=reset)
-        streams[name] = EncodedStream(counts.astype(np.int64), lens, payload)
+    jobs: dict[str, tuple] = {}
 
     # --- LEN ---------------------------------------------------------------
     flat, rec_nbytes = native.lens_encode(lengths, Wa)
@@ -107,7 +108,7 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     lane_tot = np.bincount(np.arange(n) % Wa, weights=nb64,
                            minlength=Wa).astype(np.int64)
     lsyms, lcounts = _lane_matrix(grouped, lane_tot)
-    enc("LEN", "byte", cfg.bytes_, lsyms, lcounts)
+    jobs["LEN"] = ("byte", cfg.bytes_, lsyms, lcounts, None, None)
 
     # --- IDs + plus: flags/IDD/IDX -----------------------------------------
     bidx = {"id_off": np.ascontiguousarray(id_off),
@@ -122,7 +123,7 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     flane_tot = 3 * np.bincount(np.arange(n) % Wa,
                                 minlength=Wa).astype(np.int64)
     fsyms, fcounts = _lane_matrix(fgrouped, flane_tot)
-    enc("FLAG", "flag", cfg.flags, fsyms, fcounts)
+    jobs["FLAG"] = ("flag", cfg.flags, fsyms, fcounts, None, None)
 
     for name, lanes_b in (("IDD", dl), ("IDX", xl)):
         counts = np.array([len(b) for b in lanes_b], dtype=np.int64)
@@ -131,78 +132,67 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         for w, b in enumerate(lanes_b):
             if len(b):
                 syms[: len(b), w] = b
-        enc(name, "byte", cfg.bytes_, syms, counts)
+        jobs[name] = ("byte", cfg.bytes_, syms, counts, None, None)
 
     # --- SEQ + SEQX ---------------------------------------------------------
     from .pipeline import _lane_lengths_matrix
     ll_mat = _lane_lengths_matrix(lengths, W)
     scounts = ll_mat.sum(axis=0)
     S = int(scounts.max()) if scounts.size else 0
-    # device backends derive pos/reset from ll_mat on device; the oracle
-    # backend needs them on host
-    ll_capable = hasattr(backend, "encode_stream_ll")
-    if not ll_capable:
+    pos = reset = None
+    if want_pos_reset:
         _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
-    sq, _, nbad = native.pack_lanes(data, seq_off, lengths, W, S,
-                                    map256=_BASE_TO_CODE)
-    seqx_lane = [bytearray() for _ in range(Wa)]
+    sq, _, nbad, rec_bad = native.pack_lanes(data, seq_off, lengths, W, S,
+                                             map256=_BASE_TO_CODE)
     if nbad:
-        # rare path: locate non-ACGT bytes record-major
-        rm_flat = _gather_ranges(data, seq_off, lengths)
-        codes_rm = _BASE_TO_CODE[rm_flat]
-        bad = codes_rm == 255
-        rec_starts = np.zeros(n, dtype=np.int64)
-        rec_starts[1:] = np.cumsum(lengths[:-1])
-        bad_idx = np.nonzero(bad)[0]
-        recs = np.searchsorted(rec_starts, bad_idx, side="right") - 1
-        poss = bad_idx - rec_starts[recs]
-        prev_xrec = [-1] * Wa
-        cur_rec = -1
-        prev_p = -1
-        for bi, r, p in zip(bad_idx, recs, poss):
-            w = int(r) % Wa
-            ordinal = int(r) // Wa
-            xb = seqx_lane[w]
-            if r != cur_rec:
-                put_varint(xb, ordinal - prev_xrec[w])
-                put_varint(xb, int(p))
-                prev_xrec[w] = ordinal
-                cur_rec = r
-            else:
-                put_varint(xb, 0)
-                put_varint(xb, int(p) - prev_p)
-            xb.append(int(rm_flat[bi]))
-            prev_p = int(p)
+        # rare path: run-length exception lane streams, emitted in C++
+        # byte-identically to pipeline.stream_jobs (format v2); only the
+        # records pack_lanes flagged are rescanned
+        seqx_lane = native.seqx_encode(data, seq_off, lengths, Wa,
+                                       rec_bad=rec_bad)
+    else:
+        seqx_lane = [np.zeros(0, dtype=np.uint8)] * Wa
     sx_counts = np.array([len(b) for b in seqx_lane], dtype=np.int64)
     sxS = int(sx_counts.max()) if sx_counts.size else 0
     sxsyms = np.zeros((sxS, Wa), dtype=U32)
     for w, b in enumerate(seqx_lane):
-        if b:
-            sxsyms[: len(b), w] = np.frombuffer(bytes(b), dtype=np.uint8)
-    enc("SEQX", "byte", cfg.bytes_, sxsyms, sx_counts)
+        if len(b):
+            sxsyms[: len(b), w] = b
+    jobs["SEQX"] = ("byte", cfg.bytes_, sxsyms, sx_counts, None, None)
+    jobs["SEQ"] = ("seq", cfg.seq, sq, scounts, pos, reset)
 
+    # --- QUAL ---------------------------------------------------------------
     if n and int(lengths.sum()):
         minq, maxq = native.minmax_ranges(data, qual_off, lengths)
     else:
         minq = maxq = 33
-    qual_depth = 6 if (maxq - minq + 1) <= 64 else 7
-    qs, _, _ = native.pack_lanes(data, qual_off, lengths, W, S,
-                                 bias=minq)
+    qrange = maxq - minq + 1
+    qual_depth = 6 if qrange <= 64 else (7 if qrange <= 128 else 8)
+    qs, _, _, _ = native.pack_lanes(data, qual_off, lengths, W, S,
+                                    bias=minq)
     from dataclasses import replace
     qgeom = replace(cfg.qual, depth=qual_depth)
+    jobs["QUAL"] = ("qual", qgeom, qs, scounts, pos, reset)
 
-    if ll_capable:
-        pay, lens_ = backend.encode_stream_ll("seq", cfg.seq, sq, ll_mat,
-                                              scounts)
-        streams["SEQ"] = EncodedStream(scounts.astype(np.int64), lens_, pay)
-        pay, lens_ = backend.encode_stream_ll("qual", qgeom, qs, ll_mat,
-                                              scounts)
-        streams["QUAL"] = EncodedStream(scounts.astype(np.int64), lens_,
-                                        pay)
-    else:
-        enc("SEQ", "seq", cfg.seq, sq, scounts, pos=pos, reset=reset)
-        enc("QUAL", "qual", qgeom, qs, scounts, pos=pos, reset=reset)
+    return jobs, n, minq, qual_depth, ll_mat
 
+
+def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
+                      cfg: CodecConfig, backend) -> EncodedBlock:
+    ll_capable = hasattr(backend, "encode_stream_ll")
+    jobs, n, minq, qual_depth, ll_mat = stream_jobs_fast(
+        data, idx, lo, hi, cfg, want_pos_reset=not ll_capable)
+    streams: dict[str, EncodedStream] = {}
+    for name in STREAMS:
+        kind, geom, syms, counts, pos, reset = jobs[name]
+        if ll_capable and name in ("SEQ", "QUAL"):
+            payload, lens = backend.encode_stream_ll(kind, geom, syms,
+                                                     ll_mat, counts)
+        else:
+            payload, lens = backend.encode_stream(kind, geom, syms, counts,
+                                                  pos=pos, reset=reset)
+        streams[name] = EncodedStream(np.asarray(counts).astype(np.int64),
+                                      lens, payload)
     return EncodedBlock(n, minq, qual_depth, streams)
 
 
@@ -248,21 +238,13 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
         n, Wa, flags, idd_lanes, idx_lanes)
 
     # 4. seq exceptions
+    from .pipeline import parse_seqx_lane
     sx_lanes = dec_lanes("SEQX")
     exc: list[tuple[int, int, int]] = []  # (record, pos, char)
     for w in range(Wa):
-        buf, p = sx_lanes[w].tobytes(), 0
-        ordinal, bpos = -1, -1
-        while p < len(buf):
-            drec, p = get_varint(buf, p)
-            dpos_, p = get_varint(buf, p)
-            if drec:
-                ordinal += drec
-                bpos = dpos_
-            else:
-                bpos += dpos_
-            exc.append((w + ordinal * Wa, bpos, int(buf[p])))
-            p += 1
+        for ordinal, bpos, ch in parse_seqx_lane(sx_lanes[w].tobytes(),
+                                                 cfg.fmt):
+            exc.append((w + ordinal * Wa, bpos, ch))
 
     # 5/6. seq + qual
     from .pipeline import _lane_lengths_matrix

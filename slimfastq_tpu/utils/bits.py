@@ -23,16 +23,23 @@ def put_varint(out: bytearray, v: int) -> None:
             return
 
 
+MAX_VARINT_BYTES = 10  # bounds any u64; mirrors native/host.cpp get_varint
+
+
 def get_varint(buf, pos: int) -> tuple[int, int]:
     v = 0
     shift = 0
-    while True:
+    end = len(buf)
+    for _ in range(MAX_VARINT_BYTES):
+        if pos >= end:
+            raise ValueError("truncated varint (corrupt stream)")
         b = buf[pos]
         pos += 1
         v |= (b & 0x7F) << shift
         if not (b & 0x80):
             return v, pos
         shift += 7
+    raise ValueError("overlong varint (corrupt stream)")
 
 
 def put_svarint(out: bytearray, v: int) -> None:

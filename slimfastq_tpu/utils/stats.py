@@ -16,11 +16,11 @@ def container_report(encoded: bytes) -> dict:
     encoded container."""
     from .. import container
     f = io.BytesIO(encoded)
-    container.read_header(f)
+    cfg = container.read_header(f)
     totals: dict[str, int] = {}
     nrec = 0
     nblocks = 0
-    for blk in container.iter_blocks(f):
+    for blk in container.iter_blocks(f, cfg):
         nrec += blk.num_records
         nblocks += 1
         for name, es in blk.streams.items():
@@ -69,10 +69,17 @@ class Counters:
 @contextmanager
 def trace(name: str):
     """jax.profiler annotation (no-op when profiling is off) so device
-    traces show codec stages (SURVEY.md §5 "Tracing/profiling")."""
+    traces show codec stages (SURVEY.md §5 "Tracing/profiling").
+
+    NOTE: only the *import/annotation setup* is allowed to fail silently;
+    exceptions raised by the body must propagate (a previous version
+    caught them and double-yielded, masking every kernel error as
+    "generator didn't stop after throw()")."""
     try:
-        import jax.profiler
-        with jax.profiler.TraceAnnotation(name):
-            yield
+        from jax.profiler import TraceAnnotation
+        ann = TraceAnnotation(name)
     except Exception:
+        yield
+        return
+    with ann:
         yield

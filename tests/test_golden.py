@@ -1,0 +1,102 @@
+"""Golden bit-format tests (SURVEY.md §4 item 1): known inputs must encode
+to EXACT checked-in bytes. Any change to a frozen format constant
+(ranger_np.py TOP/BOT/PROB_*/RENORM_ITERS/FLUSH_BYTES/STEP_BUCKET/CAP_LOG2/
+CNT_SHIFT, the pad-coding rule, the update law, config.py level geometries,
+container.py framing) fails here even when round-trip tests still pass —
+old containers in the wild would stop decoding.
+
+Fixtures live in tests/data/ and were generated at format VERSION 2;
+golden_v1.* pins backward decode compatibility with round-1 containers.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from slimfastq_tpu import container
+from slimfastq_tpu.api import decode_fastq, encode_fastq
+from slimfastq_tpu.config import config_for_level
+from slimfastq_tpu.ops import streams_np
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _read(name: str) -> bytes:
+    with open(os.path.join(DATA, name), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("kind", ["qual", "seq", "byte", "flag"])
+def test_stream_payload_golden(kind):
+    """Oracle encode of fixed inputs reproduces the checked-in payload
+    bytes exactly (pins the range coder, the update law, pad-coding)."""
+    z = np.load(os.path.join(DATA, "golden_streams.npz"))
+    cfg = config_for_level(2)
+    geom = {"qual": cfg.qual, "seq": cfg.seq, "byte": cfg.bytes_,
+            "flag": cfg.flags}[kind]
+    payload, lens = streams_np.encode_stream(
+        kind, geom, z[f"{kind}__syms"], z[f"{kind}__counts"],
+        pos=z[f"{kind}__pos"], reset=z[f"{kind}__reset"])
+    assert np.array_equal(lens, z[f"{kind}__lens"]), \
+        f"{kind}: lane lengths changed — bit format broken"
+    assert np.array_equal(payload, z[f"{kind}__payload"]), \
+        f"{kind}: payload bytes changed — bit format broken"
+    # and the payload still decodes to the original symbols
+    S = z[f"{kind}__syms"].shape[0]
+    out = streams_np.decode_stream(kind, geom, payload, lens,
+                                   z[f"{kind}__counts"], S,
+                                   pos=z[f"{kind}__pos"],
+                                   reset=z[f"{kind}__reset"])
+    mask = np.arange(S)[:, None] < z[f"{kind}__counts"][None, :]
+    assert np.array_equal(out[mask], z[f"{kind}__syms"][mask])
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 4])
+def test_container_golden_per_level(level):
+    """Whole-container bytes are pinned per level (container framing +
+    every stream's coded bytes)."""
+    data = _read("golden_v2.fastq")
+    golden = _read(f"golden_v2_l{level}.sfq")
+    enc = encode_fastq(data, level=level, lanes=32, aux_lanes=8,
+                       block_records=160, use_native=False)
+    assert enc == golden, \
+        f"level {level} container bytes changed — bit format broken"
+    assert decode_fastq(golden) == data
+
+
+def test_container_golden_native_matches():
+    """The native host path reproduces the identical golden container."""
+    from slimfastq_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = _read("golden_v2.fastq")
+    enc = encode_fastq(data, level=3, lanes=32, aux_lanes=8,
+                       block_records=160, use_native=True)
+    assert enc == _read("golden_v2_l3.sfq")
+
+
+def test_v1_container_still_decodes():
+    """Round-1 (VERSION 1) containers decode bit-exactly: legacy header,
+    un-prefixed blocks, per-base SEQX exceptions."""
+    old = _read("golden_v1.sfq")
+    ref = _read("golden_v1.fastq")
+    f = io.BytesIO(old)
+    cfg = container.read_header(f)
+    assert cfg.fmt == 1
+    assert decode_fastq(old, use_native=False) == ref
+    from slimfastq_tpu import native
+    if native.available():
+        assert decode_fastq(old, use_native=True) == ref
+
+
+def test_frozen_constants():
+    """The frozen constants themselves (a tripwire that makes an intended
+    format change edit this file consciously)."""
+    from slimfastq_tpu.ops import ranger_np as R
+    assert (int(R.TOP), int(R.BOT)) == (1 << 24, 1 << 16)
+    assert (R.PROB_BITS, R.PROB_MIN, R.PROB_MAX) == (12, 16, 4080)
+    assert (R.RENORM_ITERS, R.FLUSH_BYTES, R.STEP_BUCKET) == (4, 4, 256)
+    assert (R.CAP_LOG2, R.CNT_SHIFT) == (4, 22)
+    assert container.VERSION == 2

@@ -88,6 +88,36 @@ def test_qual_adversarial_constant(cfg):
     _compare_stream("qual", cfg.qual, syms, counts, pos=pos, reset=reset)
 
 
+def test_qual_equivalence_production_geometry_w128():
+    """Production-shaped case (round-1 VERDICT weak #2): W=128 lanes with
+    the TRUE level-3 quality geometry (full q2, 8k contexts), so the
+    equivalence suite pins a kernel in the same geometry class the real
+    encoder compiles (toy-scale W=8-32/level-2 cases can miss
+    shape-dependent compile/codegen bugs)."""
+    cfg3 = config_for_level(3, lanes=128, aux_lanes=8)
+    rng = np.random.default_rng(21)
+    W = 128
+    lengths, counts, S, pos, reset = _read_layout(rng, 300, W, 80)
+    recs = []
+    for L in lengths:
+        q = np.clip(38 + np.cumsum(rng.integers(-3, 4, size=L)), 0, 63)
+        recs.append(q.astype(np.uint32))
+    syms = _scatter_record_symbols(recs, W, S, counts)
+    _compare_stream("qual", cfg3.qual, syms, counts, pos=pos, reset=reset)
+
+
+def test_seq_equivalence_level4_table():
+    """Level-4 sequence geometry (order-11, 67MB table as a loop carry) at
+    reduced step count: pins the deep-table kernel path byte-for-byte."""
+    cfg4 = config_for_level(4, lanes=32, aux_lanes=8)
+    rng = np.random.default_rng(22)
+    W = 32
+    lengths, counts, S, pos, reset = _read_layout(rng, 64, W, 50)
+    recs = [rng.integers(0, 4, size=L).astype(np.uint32) for L in lengths]
+    syms = _scatter_record_symbols(recs, W, S, counts)
+    _compare_stream("seq", cfg4.seq, syms, counts, pos=pos, reset=reset)
+
+
 def test_full_file_backend_equivalence(cfg):
     """encode/decode through the whole pipeline must be byte-identical
     across backends."""

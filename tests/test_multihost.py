@@ -15,39 +15,36 @@ CFG = dict(lanes=32, aux_lanes=8, block_records=128)
 
 
 def test_process_block_ranges():
+    # contiguous runs of blocks per process, in process order
     r = multihost.process_block_ranges(1000, 128, 3, 0)
-    assert r == [(0, 128), (384, 512), (768, 896)]
-    allr = sorted(sum((multihost.process_block_ranges(1000, 128, 3, p)
-                       for p in range(3)), []))
-    # complete, non-overlapping cover
+    assert r == [(0, 128), (128, 256), (256, 384)]
+    allr = sum((multihost.process_block_ranges(1000, 128, 3, p)
+                for p in range(3)), [])
+    # complete, ordered, non-overlapping cover without sorting
     assert allr[0][0] == 0 and allr[-1][1] == 1000
     for (a, b), (c, d) in zip(allr, allr[1:]):
         assert b == c
+    # per-process counts differ by at most one block
+    sizes = [len(multihost.process_block_ranges(1000, 128, 3, p))
+             for p in range(3)]
+    assert max(sizes) - min(sizes) <= 1
 
 
 def test_merge_containers_equals_single_run():
-    data = synth_fastq(512, read_len=40, seed=0, var_len=True)
+    """Per-host shards (contiguous block runs) merged in process order are
+    byte-identical to a single-process whole-file encode."""
+    data = synth_fastq(660, read_len=40, seed=0, var_len=True)
     single = encode_fastq(data, level=3, **CFG)
 
-    # simulate 2 hosts, each encoding its (contiguous groups of) blocks
     batch = parse_fastq_bytes(data)
     from slimfastq_tpu.api import _batch_slice
     shards = []
-    for p in range(2):
-        ranges = multihost.process_block_ranges(len(batch), 128, 2, p)
+    for p in range(3):
+        ranges = multihost.process_block_ranges(len(batch), 128, 3, p)
         part = b"".join(serialize_fastq(_batch_slice(batch, lo, hi))
                         for lo, hi in ranges)
         shards.append(encode_fastq(part, level=3, **CFG))
-    # interleave back into global block order: host p owns blocks p, p+2, ..
-    # merge_containers expects shards listed so concatenation yields global
-    # order; rebuild per-block shards in order instead:
-    blocks_in_order = []
-    for b in range(4):
-        p, k = b % 2, b // 2
-        lo, hi = multihost.process_block_ranges(len(batch), 128, 2, p)[k]
-        part = serialize_fastq(_batch_slice(batch, lo, hi))
-        blocks_in_order.append(encode_fastq(part, level=3, **CFG))
-    merged = multihost.merge_containers(blocks_in_order)
+    merged = multihost.merge_containers(shards)
     assert merged == single
     assert decode_fastq(merged) == data
 

@@ -1,0 +1,55 @@
+"""Size-regression tests (SURVEY.md §4 item 5; round-1 VERDICT missing #3):
+compressed totals and per-stream bytes over diverse corpora are pinned in
+tests/data/sizes.json; any regression > 1% fails. After an INTENTIONAL
+ratio-affecting change, regenerate with tools/gen_sizes.py and commit the
+reviewed diff.
+
+Corpora: standard Illumina-like, binned NovaSeq-style qualities, 10kb long
+reads, 5%-N bursty low-quality, SRA-style IDs."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from slimfastq_tpu.api import decode_fastq, encode_fastq
+from slimfastq_tpu.utils.synth import corpus
+
+SPECS = [("illumina", 500), ("novaseq", 500), ("longread", 12),
+         ("nheavy", 500), ("sra", 500)]
+LEVELS = (1, 3, 4)
+CFG = dict(lanes=32, aux_lanes=8, block_records=256)
+TOL = 1.01  # fail on >1% size regression
+
+with open(os.path.join(os.path.dirname(__file__), "data",
+                       "sizes.json")) as _f:
+    BASELINE = json.load(_f)
+
+_N = dict(SPECS)
+
+
+@pytest.mark.parametrize("name", [s[0] for s in SPECS])
+@pytest.mark.parametrize("level", LEVELS)
+def test_size_regression(name, level):
+    data = corpus(name, _N[name], seed=1234)
+    base = BASELINE[name]
+    assert base["raw"] == len(data), \
+        "corpus generator changed — regenerate tools/gen_sizes.py baseline"
+    enc = encode_fastq(data, level=level, **CFG)
+    assert decode_fastq(enc) == data
+    rec = base["levels"][str(level)]
+    assert len(enc) <= rec["total"] * TOL, (
+        f"{name} L{level}: container grew {len(enc)} > {rec['total']} "
+        f"(+{(len(enc)/rec['total']-1)*100:.2f}%) — ratio regression; if "
+        f"intentional, regenerate tests/data/sizes.json via "
+        f"tools/gen_sizes.py")
+
+
+def test_beats_gzip_on_every_corpus():
+    """Ratio sanity across data shapes, not just the standard corpus."""
+    for name, n in SPECS:
+        data = corpus(name, n, seed=1234)
+        enc = encode_fastq(data, level=3, **CFG)
+        gz = gzip.compress(data, 9)
+        assert len(enc) < len(gz), f"{name}: {len(enc)} >= gzip {len(gz)}"
