@@ -16,19 +16,25 @@ from dataclasses import dataclass, field
 class QualGeom:
     """Quality-stream model geometry.
 
-    Context = prev qual (q1, full) | quantised prev-prev qual (q2) | position
-    bucket — the fqzcomp/slimfastq quality-context family (SURVEY.md §2
-    "Quality codec").
+    Context = prev qual (q1, full) | quantised prev-prev qual (q2)
+    | quantised q1-q2 delta | position bucket — the fqzcomp/slimfastq
+    quality-context family (SURVEY.md §2 "Quality codec") plus the
+    level-4 delta ingredient.
+
+    delta code (2 bits, frozen format rule when delta_bits=2):
+      0: q1 == q2;  1: 0 < q1-q2 <= 3;  2: -3 <= q1-q2 < 0;  3: |q1-q2| > 3
     """
     depth: int = 6          # bits per symbol (6 => 64-symbol alphabet)
     q2_bits: int = 3        # quantised second-order qual context bits
     pos_bits: int = 4       # position-bucket bits
     pos_shift: int = 3      # bucket = min(pos >> shift, 2^pos_bits - 1)
     rate: int = 5           # adaptation shift
+    delta_bits: int = 0     # 0 or 2: quantised q1-q2 delta context bits
 
     @property
     def num_ctx(self) -> int:
-        return 1 << (self.depth + self.q2_bits + self.pos_bits)
+        return 1 << (self.depth + self.q2_bits + self.delta_bits
+                     + self.pos_bits)
 
     @property
     def sac_base(self) -> int:
@@ -149,8 +155,17 @@ LEVELS: dict[int, CodecConfig] = {
     3: CodecConfig(level=3,
                    qual=QualGeom(q2_bits=6, pos_bits=1, pos_shift=6, rate=5),
                    seq=SeqGeom(order=10, rate=3)),
+    # L4 = L3 qual context + the q1-q2 delta ingredient + one more base of
+    # seq context. With the full previous qual in-context (q2_bits=6 at
+    # depth 6) the delta code is redundant and the qual bytes are identical
+    # to L3 (measured); at depth 7/8 (wide quality alphabets) q2 is
+    # quantised and the delta adds real information. Deeper contexts
+    # (q3, finer position) LOSE on 16k-read blocks: measured conditional
+    # entropy gain <= 0.02 bit/qual vs ~3x the cold-table learning cost
+    # (the coded-vs-entropy gap is ~0.23 bit/qual of adaptation cost).
     4: CodecConfig(level=4,
-                   qual=QualGeom(q2_bits=6, pos_bits=2, pos_shift=5, rate=5),
+                   qual=QualGeom(q2_bits=6, delta_bits=2, pos_bits=1,
+                                 pos_shift=6, rate=5),
                    seq=SeqGeom(order=11, rate=3)),
 }
 

@@ -96,10 +96,9 @@ def write_header(f: BinaryIO, cfg: CodecConfig) -> None:
     hdr += struct.pack("<HBBIII", VERSION, cfg.level, 0,
                        cfg.lanes, cfg.aux_lanes, cfg.block_records)
     q, s, b, fl = cfg.qual, cfg.seq, cfg.bytes_, cfg.flags
-    hdr += struct.pack("<11B", q.depth, q.q2_bits, q.pos_bits, q.pos_shift,
-                       q.rate, s.order, s.rate, b.order, b.rate,
-                       fl.hist_bits, fl.rate)
-    hdr += b"\x00"  # reserved
+    hdr += struct.pack("<12B", q.depth, q.q2_bits, q.delta_bits, q.pos_bits,
+                       q.pos_shift, q.rate, s.order, s.rate, b.order,
+                       b.rate, fl.hist_bits, fl.rate)
     hdr += struct.pack("<I", zlib.crc32(bytes(hdr)))
     f.write(bytes(hdr))
 
@@ -122,13 +121,13 @@ def read_header(f: BinaryIO) -> CodecConfig:
     if zlib.crc32(hdr[: HEADER_SIZE[2] - 4]) != crc:
         raise ValueError("container header CRC mismatch (corrupt file)")
     level, _flags, lanes, aux, blockrec = struct.unpack_from("<BBIII", hdr, 6)
-    (qd, qq2, qpb, qps, qr, so, sr, bo, br, fh, fr) = struct.unpack_from(
-        "<11B", hdr, 20)
+    (qd, qq2, qdb, qpb, qps, qr, so, sr, bo, br, fh, fr) = \
+        struct.unpack_from("<12B", hdr, 20)
     base = config_for_level(level, lanes=lanes, aux_lanes=aux,
                             block_records=blockrec)
     return replace(base, fmt=2,
-                   qual=QualGeom(depth=qd, q2_bits=qq2, pos_bits=qpb,
-                                 pos_shift=qps, rate=qr),
+                   qual=QualGeom(depth=qd, q2_bits=qq2, delta_bits=qdb,
+                                 pos_bits=qpb, pos_shift=qps, rate=qr),
                    seq=SeqGeom(order=so, rate=sr),
                    bytes_=ByteGeom(order=bo, rate=br),
                    flags=FlagGeom(hist_bits=fh, rate=fr))

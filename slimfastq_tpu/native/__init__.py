@@ -254,13 +254,24 @@ def pack_lanes(src: np.ndarray, offs: np.ndarray, lens: np.ndarray,
     return mat[:S], totals, int(bad), rec_bad[:n]
 
 
+def transpose_mat(mat: np.ndarray) -> np.ndarray:
+    """[A, B] uint32 -> contiguous [B, A] via the blocked C++ transpose
+    (NumPy ascontiguousarray(mat.T) measured ~13 ms per 26 MB matrix)."""
+    A, B = mat.shape
+    out = np.empty((B, A), dtype=np.uint32)
+    lib.transpose_u32(_pu32(np.ascontiguousarray(mat, dtype=np.uint32)),
+                      _pu32(out), A, B)
+    return out
+
+
 def unpack_lanes(mat: np.ndarray, lens: np.ndarray, W: int,
                  out_offs: np.ndarray, total: int,
                  map256: np.ndarray | None = None,
                  bias: int = 0) -> np.ndarray:
     """mat: [S, W] uint32 -> record-major byte buffer."""
     S = mat.shape[0]
-    matT = np.ascontiguousarray(mat.T)
+    matT = transpose_mat(mat) if mat.flags.c_contiguous and mat.size else \
+        np.ascontiguousarray(mat.T)
     out = np.zeros(max(total, 1), dtype=np.uint8)
     mp = _p8(map256) if map256 is not None else \
         ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))

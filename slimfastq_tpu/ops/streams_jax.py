@@ -73,6 +73,16 @@ def _shift_t(x, n):
     return jnp.concatenate([z, x[:-n]], axis=0)
 
 
+def _qdelta_code(a, b):
+    """2-bit quantised q1-q2 delta (frozen format rule, config.QualGeom):
+    0: equal; 1: up by <=3; 2: down by <=3; 3: |delta| > 3."""
+    diff = a.astype(I32) - b.astype(I32)
+    return jnp.where(diff == 0, U32(0),
+                     jnp.where((diff > 0) & (diff <= 3), U32(1),
+                               jnp.where((diff < 0) & (diff >= -3),
+                                         U32(2), U32(3))))
+
+
 def _seq_offsets(k: int) -> np.ndarray:
     return (((np.uint32(1) << (2 * np.arange(k + 1, dtype=np.uint32)))
              - np.uint32(1)) // np.uint32(3)).astype(np.uint32)
@@ -91,6 +101,9 @@ def _ctx_precompute(kind: str, geom, syms, pos, reset):
         if geom.q2_bits:
             ctx = ctx | ((b >> U32(geom.depth - geom.q2_bits)) << U32(shift))
             shift += geom.q2_bits
+        if getattr(geom, "delta_bits", 0):
+            ctx = ctx | (_qdelta_code(a, b) << U32(shift))
+            shift += geom.delta_bits
         if geom.pos_bits:
             posb = jnp.minimum(pos >> U32(geom.pos_shift),
                                U32((1 << geom.pos_bits) - 1))
@@ -134,6 +147,9 @@ def _ctx_step(kind: str, geom, cst, pos_t, reset_t):
         if geom.q2_bits:
             ctx = ctx | ((b >> U32(geom.depth - geom.q2_bits)) << U32(shift))
             shift += geom.q2_bits
+        if getattr(geom, "delta_bits", 0):
+            ctx = ctx | (_qdelta_code(a, b) << U32(shift))
+            shift += geom.delta_bits
         if geom.pos_bits:
             posb = jnp.minimum(pos_t >> U32(geom.pos_shift),
                                U32((1 << geom.pos_bits) - 1))

@@ -41,6 +41,14 @@ class QualCtx:
             q2q = self.b >> U32(g.depth - g.q2_bits)
             ctx = ctx | (q2q << U32(shift))
             shift += g.q2_bits
+        if g.delta_bits:
+            diff = self.a.astype(np.int32) - self.b.astype(np.int32)
+            dc = np.where(diff == 0, 0,
+                          np.where((diff > 0) & (diff <= 3), 1,
+                                   np.where((diff < 0) & (diff >= -3),
+                                            2, 3))).astype(U32)
+            ctx = ctx | (dc << U32(shift))
+            shift += g.delta_bits
         if g.pos_bits:
             posb = np.minimum(pos >> U32(g.pos_shift),
                               U32((1 << g.pos_bits) - 1))

@@ -212,8 +212,11 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
         S = int(np.asarray(c).max()) if len(c) else 0
         syms = backend.decode_stream(kind, g, es.payload, es.lane_lens,
                                      c, S, pos=pos, reset=reset)
-        return [np.ascontiguousarray(syms[: c[w], w]).astype(np.uint8)
-                for w in range(len(c))]
+        if syms.size:  # one blocked transpose, then cheap contiguous rows
+            rows = native.transpose_mat(np.ascontiguousarray(syms))
+            return [rows[w, : c[w]].astype(np.uint8)
+                    for w in range(len(c))]
+        return [np.zeros(0, dtype=np.uint8) for _ in range(len(c))]
 
     # 1. lengths
     len_lanes = dec_lanes("LEN")
