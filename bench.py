@@ -79,15 +79,22 @@ def _data(reads, read_len):
                        n_rate=0.0005)
 
 
-def _timeit(fn, *args, iters=ITERS):
+def _timeit(fn, *args, iters=None):
+    """Kernel cost = MIN of `iters` timed executions after a warm-up
+    (compile) call: device dispatch rides the dev-harness tunnel, whose
+    latency hiccups can inflate an individual execution by 10-100x (one
+    measured run: 8 ms of kernels reported as 110 ms under mean-of-3)."""
     import jax
+    iters = max(ITERS, 5) if iters is None else iters
     r = fn(*args)          # warm-up / compile
     jax.block_until_ready(r)
-    t0 = pc()
+    best = float("inf")
     for _ in range(iters):
+        t0 = pc()
         r = fn(*args)
-    jax.block_until_ready(r)
-    return (pc() - t0) / iters, r
+        jax.block_until_ready(r)
+        best = min(best, pc() - t0)
+    return best, r
 
 
 def _timeit_host(fn, *args, iters=None):
@@ -360,16 +367,16 @@ def phase_decode() -> int:
     for name, kind, geom, counts, S in specs:
         if packed[name] is None:
             Wn = blk.streams[name].payload.shape[0]
-            host_syms[name] = np.zeros((S, Wn), dtype=np.uint32)
+            host_syms[name] = np.zeros((S, Wn), dtype=np.uint8)
             continue
         kind, geom, counts, S, Sp, Lw, _ = packed[name]
         t0 = pc()
         arr = np.asarray(dev_syms[name])
         t["d2h"] += pc() - t0
         d2h_bytes += arr.nbytes
-        out = arr[:S].astype(np.uint32)
+        out = arr[:S]
         mask = np.arange(S)[:, None] < counts[None, :]
-        host_syms[name] = np.where(mask, out, np.uint32(0))
+        host_syms[name] = np.where(mask, out, arr.dtype.type(0))
 
     class _Shim:
         """Returns the already-device-decoded symbol matrices in

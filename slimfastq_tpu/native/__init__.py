@@ -82,6 +82,14 @@ def _load():
     lib.unpack_lanes.restype = i64
     lib.unpack_lanes.argtypes = [pu32, pi64, i64, i64, i64, p8,
                                  ctypes.c_int32, p8, pi64]
+    lib.pack_lanes2_u8.restype = i64
+    lib.pack_lanes2_u8.argtypes = [p8, pi64, pi64, i64, i64, i64, p8,
+                                   ctypes.c_int32, p8, pi64, pi32]
+    lib.transpose_u8.restype = None
+    lib.transpose_u8.argtypes = [p8, p8, i64, i64]
+    lib.unpack_lanes2_u8.restype = i64
+    lib.unpack_lanes2_u8.argtypes = [p8, pi64, i64, i64, i64, p8,
+                                     ctypes.c_int32, p8, pi64]
     lib.minmax_ranges.restype = None
     lib.minmax_ranges.argtypes = [p8, pi64, pi64, i64, pi64, pi64]
     lib.compact_lanes.restype = i64
@@ -234,30 +242,43 @@ def _pu32(a: np.ndarray):
 
 def pack_lanes(src: np.ndarray, offs: np.ndarray, lens: np.ndarray,
                W: int, S: int, map256: np.ndarray | None = None,
-               bias: int = 0):
-    """Returns (mat [S, W] uint32, lane_totals [W], n_bad, rec_bad [n]).
+               bias: int = 0, dtype=np.uint32):
+    """Returns (mat [S, W] `dtype`, lane_totals [W], n_bad, rec_bad [n]).
 
     OpenMP record-parallel fill + blocked C++ transpose (the NumPy
-    `ascontiguousarray(matT.T)` copy measured ~13 ms per 26 MB matrix)."""
+    `ascontiguousarray(matT.T)` copy measured ~13 ms per 26 MB matrix).
+    dtype=np.uint8 halves twice the memory traffic (all stream symbols
+    fit in a byte); the device kernels upcast once on entry."""
     n = len(offs)
-    matT = np.zeros((W, max(S, 1)), dtype=np.uint32)
+    u8 = np.dtype(dtype) == np.uint8
+    matT = np.zeros((W, max(S, 1)), dtype=dtype)
     totals = np.zeros(W, dtype=np.int64)
     rec_bad = np.zeros(max(n, 1), dtype=np.int32)
     mp = _p8(map256) if map256 is not None else \
         ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
-    bad = lib.pack_lanes2(_p8(src), _pi64(np.ascontiguousarray(offs)),
-                          _pi64(np.ascontiguousarray(lens)), n, W,
-                          max(S, 1), mp, bias, _pu32(matT), _pi64(totals),
-                          _pi32(rec_bad))
-    mat = np.empty((max(S, 1), W), dtype=np.uint32)
-    lib.transpose_u32(_pu32(matT), _pu32(mat), W, max(S, 1))
+    fill = lib.pack_lanes2_u8 if u8 else lib.pack_lanes2
+    bad = fill(_p8(src), _pi64(np.ascontiguousarray(offs)),
+               _pi64(np.ascontiguousarray(lens)), n, W,
+               max(S, 1), mp, bias,
+               _p8(matT) if u8 else _pu32(matT), _pi64(totals),
+               _pi32(rec_bad))
+    mat = np.empty((max(S, 1), W), dtype=dtype)
+    if u8:
+        lib.transpose_u8(_p8(matT), _p8(mat), W, max(S, 1))
+    else:
+        lib.transpose_u32(_pu32(matT), _pu32(mat), W, max(S, 1))
     return mat[:S], totals, int(bad), rec_bad[:n]
 
 
 def transpose_mat(mat: np.ndarray) -> np.ndarray:
-    """[A, B] uint32 -> contiguous [B, A] via the blocked C++ transpose
-    (NumPy ascontiguousarray(mat.T) measured ~13 ms per 26 MB matrix)."""
+    """[A, B] uint32/uint8 -> contiguous [B, A] via the blocked C++
+    transpose (NumPy ascontiguousarray(mat.T) measured ~13 ms per 26 MB
+    matrix)."""
     A, B = mat.shape
+    if mat.dtype == np.uint8:
+        out = np.empty((B, A), dtype=np.uint8)
+        lib.transpose_u8(_p8(np.ascontiguousarray(mat)), _p8(out), A, B)
+        return out
     out = np.empty((B, A), dtype=np.uint32)
     lib.transpose_u32(_pu32(np.ascontiguousarray(mat, dtype=np.uint32)),
                       _pu32(out), A, B)
@@ -268,13 +289,20 @@ def unpack_lanes(mat: np.ndarray, lens: np.ndarray, W: int,
                  out_offs: np.ndarray, total: int,
                  map256: np.ndarray | None = None,
                  bias: int = 0) -> np.ndarray:
-    """mat: [S, W] uint32 -> record-major byte buffer."""
+    """mat: [S, W] uint32/uint8 -> record-major byte buffer."""
     S = mat.shape[0]
-    matT = transpose_mat(mat) if mat.flags.c_contiguous and mat.size else \
-        np.ascontiguousarray(mat.T)
     out = np.zeros(max(total, 1), dtype=np.uint8)
     mp = _p8(map256) if map256 is not None else \
         ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    if mat.dtype == np.uint8:
+        matT = transpose_mat(mat) if mat.size else \
+            np.zeros((W, max(S, 1)), dtype=np.uint8)
+        lib.unpack_lanes2_u8(_p8(matT), _pi64(np.ascontiguousarray(lens)),
+                             len(lens), W, max(S, 1), mp, bias, _p8(out),
+                             _pi64(np.ascontiguousarray(out_offs)))
+        return out
+    matT = transpose_mat(mat) if mat.flags.c_contiguous and mat.size else \
+        np.ascontiguousarray(mat.T)
     lib.unpack_lanes(_pu32(matT), _pi64(np.ascontiguousarray(lens)),
                      len(lens), W, max(S, 1), mp, bias, _p8(out),
                      _pi64(np.ascontiguousarray(out_offs)))
@@ -302,29 +330,37 @@ def compact_lanes(ebufs: np.ndarray, eptrs: np.ndarray, low: np.ndarray,
 
 
 def seqx_encode(src: np.ndarray, offs: np.ndarray, lens: np.ndarray,
-                wa: int, rec_bad: np.ndarray | None = None
-                ) -> list[np.ndarray]:
+                wa: int, rec_bad: np.ndarray | None = None,
+                nbad: int | None = None) -> list[np.ndarray]:
     """Run-length non-ACGT exception lane streams (format v2). With
     rec_bad (per-record exception counts from pack_lanes), clean records
-    are skipped without rescanning their bytes."""
+    are skipped without rescanning their bytes. nbad (total exception
+    bases, also from pack_lanes) tightens the arena bound: the blanket
+    worst-case arena is ~13 bytes/sequence-byte (86 MB at 64k records),
+    whose page-zeroing alone cost ~15 ms/block."""
     n = len(offs)
     total = int(np.asarray(lens).sum())
-    # worst case: alternating exception chars -> ~13 bytes per exception;
-    # bound by total sequence bytes * 13 spread over lanes + slack
-    stride = 13 * (total // max(wa, 1)) + 13 * ((n + wa - 1) // max(wa, 1)) \
-        + 64
-    arena = np.empty(wa * stride, dtype=np.uint8)
-    sizes = np.zeros(wa, dtype=np.int64)
+    # worst case: alternating exception chars -> ~13 bytes per exception
+    stride_full = 13 * (total // max(wa, 1)) \
+        + 13 * ((n + wa - 1) // max(wa, 1)) + 64
+    # a single lane could hold every exception run; <=32 B covers the
+    # worst varint triple + char per run (runs <= nbad), with the full
+    # bound as a retry fallback
+    stride = min(stride_full, 32 * nbad + 64) if nbad is not None \
+        else stride_full
     rb = _pi32(np.ascontiguousarray(rec_bad, dtype=np.int32)) \
         if rec_bad is not None else \
         ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
-    r = lib.seqx_encode(_p8(src), _pi64(np.ascontiguousarray(offs)),
-                        _pi64(np.ascontiguousarray(lens)), n, wa,
-                        _p8(arena), stride, _pi64(sizes), rb)
-    if r < 0:
-        raise RuntimeError("seqx_encode overflow")
-    return [arena[w * stride: w * stride + sizes[w]].copy()
-            for w in range(wa)]
+    for st in (stride, stride_full):
+        arena = np.empty(wa * st, dtype=np.uint8)
+        sizes = np.zeros(wa, dtype=np.int64)
+        r = lib.seqx_encode(_p8(src), _pi64(np.ascontiguousarray(offs)),
+                            _pi64(np.ascontiguousarray(lens)), n, wa,
+                            _p8(arena), st, _pi64(sizes), rb)
+        if r >= 0:
+            return [arena[w * st: w * st + sizes[w]].copy()
+                    for w in range(wa)]
+    raise RuntimeError("seqx_encode overflow")
 
 
 def minmax_ranges(src: np.ndarray, offs: np.ndarray, lens: np.ndarray):

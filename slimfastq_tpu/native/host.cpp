@@ -579,6 +579,93 @@ void transpose_u32(const uint32_t* in, uint32_t* out, int64_t W,
         }
 }
 
+// uint8 twins of pack_lanes2 / transpose_u32 / unpack_lanes. Every stream
+// symbol fits in a byte (tree depth <= 8), so the host<->device boundary
+// matrices are uint8: 4x less host memory traffic and 4x smaller PCIe /
+// tunnel transfers than the uint32 layout (the device upcasts once,
+// whole-array, outside the scan — KERNEL_NOTES §5).
+int64_t pack_lanes2_u8(const uint8_t* src, const int64_t* offs,
+                       const int64_t* lens, int64_t n, int64_t W, int64_t S,
+                       const uint8_t* map256, int32_t bias,
+                       uint8_t* matT /*[W*S]*/, int64_t* lane_totals,
+                       int32_t* rec_bad /*[n]*/) {
+    std::vector<int64_t> rec_start(n);
+    for (int64_t w = 0; w < W; w++) lane_totals[w] = 0;
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % W;
+        rec_start[r] = lane_totals[w];
+        lane_totals[w] += lens[r];
+    }
+    int64_t nbad = 0;
+#pragma omp parallel for schedule(static) reduction(+:nbad)
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % W;
+        uint8_t* row = matT + w * S + rec_start[r];
+        const uint8_t* s = src + offs[r];
+        int64_t L = lens[r];
+        int32_t bad = 0;
+        if (map256) {
+            for (int64_t i = 0; i < L; i++) {
+                uint8_t v = map256[s[i]];
+                bad += (v == 255);
+                row[i] = (v == 255) ? 0 : v;
+            }
+        } else {
+            for (int64_t i = 0; i < L; i++)
+                row[i] = (uint8_t)(int32_t(s[i]) - bias);
+        }
+        if (rec_bad) rec_bad[r] = bad;
+        nbad += bad;
+    }
+    return nbad;
+}
+
+// Blocked OpenMP transpose [A, B] u8 -> [B, A] u8.
+void transpose_u8(const uint8_t* in, uint8_t* out, int64_t A, int64_t B) {
+    const int64_t T = 128;
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int64_t b0 = 0; b0 < B; b0 += T)
+        for (int64_t a0 = 0; a0 < A; a0 += T) {
+            int64_t b1 = b0 + T < B ? b0 + T : B;
+            int64_t a1 = a0 + T < A ? a0 + T : A;
+            for (int64_t b = b0; b < b1; b++)
+                for (int64_t a = a0; a < a1; a++)
+                    out[b * A + a] = in[a * B + b];
+        }
+}
+
+// OpenMP record-parallel inverse of pack_lanes2_u8: [W, S] u8 lane-major
+// matrix -> record-major byte buffer through map256 (or +bias). Each
+// record writes a disjoint out range, so the fill parallelizes after a
+// cheap serial per-record row-start prefix.
+int64_t unpack_lanes2_u8(const uint8_t* matT /*[W*S]*/, const int64_t* lens,
+                         int64_t n, int64_t W, int64_t S,
+                         const uint8_t* map256, int32_t bias,
+                         uint8_t* out, const int64_t* out_offs) {
+    std::vector<int64_t> rec_start(n);
+    std::vector<int64_t> pos(W, 0);
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % W;
+        rec_start[r] = pos[w];
+        pos[w] += lens[r];
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; r++) {
+        int64_t w = r % W;
+        const uint8_t* row = matT + w * S + rec_start[r];
+        uint8_t* dst = out + out_offs[r];
+        int64_t L = lens[r];
+        if (map256) {
+            for (int64_t i = 0; i < L; i++)
+                dst[i] = map256[row[i]];
+        } else {
+            for (int64_t i = 0; i < L; i++)
+                dst[i] = (uint8_t)(int32_t(row[i]) + bias);
+        }
+    }
+    return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Run-length non-ACGT exception streams (container format v2; mirrors
 // pipeline.stream_jobs / seqx_runs byte-for-byte), aux-lane-local.

@@ -200,6 +200,7 @@ def _build_schedule(kind: str, geom, Sp: int, W: int):
 
     @jax.jit
     def run(syms, poss, resets, counts):
+        syms = syms.astype(U32)     # uint8 boundary: upcast once, pre-scan
         steps = jax.lax.broadcasted_iota(I32, (Sp, W), 0)
         active = steps < counts[None, :].astype(I32)
         ctx = _ctx_precompute(kind, geom, syms, poss, resets)
@@ -251,6 +252,7 @@ def _build_schedule_ll(kind: str, geom, Sp: int, S: int, W: int, Rpl: int):
 
     @jax.jit
     def run(syms, lane_lens, counts):
+        syms = syms.astype(U32)     # uint8 boundary: upcast once, pre-scan
         poss, resets = _pos_reset_device(lane_lens, Sp, S, W)
         steps = jax.lax.broadcasted_iota(I32, (Sp, W), 0)
         active = steps < counts[None, :].astype(I32)
@@ -500,7 +502,9 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
 
         carry = (low, rngs, code, ptr, table, cst0, paywords, lens0)
         carry, sbufs = jax.lax.scan(chunk, carry, (acts, poss, resets))
-        return sbufs.reshape(Sp, W)
+        # uint8 boundary: whole-array downcast AFTER the scan (symbols fit
+        # in a byte at every depth <= 8) -> 4x smaller device->host copy
+        return sbufs.reshape(Sp, W).astype(jnp.uint8)
 
     return run
 
@@ -530,7 +534,8 @@ def _build_decode_ll(kind: str, geom, Sp: int, S: int, W: int, Rpl: int,
 # ---------------------------------------------------------------------------
 
 def _pad2(x, Sp, W):
-    out = np.zeros((Sp, W), dtype=np.uint32)
+    dt = np.uint8 if (x is not None and x.dtype == np.uint8) else np.uint32
+    out = np.zeros((Sp, W), dtype=dt)
     if x is not None and x.shape[0]:
         out[: x.shape[0]] = x
     return out
@@ -635,7 +640,7 @@ def decode_stream_ll(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
     S = num_steps
     Sp = R.pad_steps(S)
     if Sp == 0 or not (counts > 0).any():
-        return np.zeros((S, W), dtype=np.uint32)
+        return np.zeros((S, W), dtype=np.uint8)
     Lb = max(int(payload.shape[1]), 1)
     Lb = ((Lb + 2047) // 2048) * 2048
     pay = np.zeros((W, Lb), dtype=np.uint8)
@@ -650,9 +655,9 @@ def decode_stream_ll(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
     with trace(f"sfq.decode.{kind}.coder"):
         syms = run(jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
                    jnp.asarray(ll), jnp.asarray(counts.astype(np.int32)))
-    out = np.asarray(syms)[:S].astype(np.uint32)
+    out = np.asarray(syms)[:S]
     mask = np.arange(S)[:, None] < counts[None, :]
-    return np.where(mask, out, np.uint32(0))
+    return np.where(mask, out, np.uint8(0))
 
 
 def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
@@ -664,7 +669,7 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
     S = num_steps
     Sp = R.pad_steps(S)
     if Sp == 0 or not (counts > 0).any():
-        return np.zeros((S, W), dtype=np.uint32)
+        return np.zeros((S, W), dtype=np.uint8)
     # word-pack the payload (little-endian) and bucket its width
     Lb = max(int(payload.shape[1]), 1)
     Lb = ((Lb + 2047) // 2048) * 2048
@@ -684,6 +689,6 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
         syms = run(jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
                    jnp.asarray(acts), jnp.asarray(poss),
                    jnp.asarray(resets))
-    out = np.asarray(syms)[:S].astype(np.uint32)
+    out = np.asarray(syms)[:S]
     mask = np.arange(S)[:, None] < counts[None, :]
-    return np.where(mask, out, np.uint32(0))
+    return np.where(mask, out, np.uint8(0))

@@ -121,6 +121,7 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
     Lanes with zero symbols contribute no bytes.
     """
     S, W = syms.shape
+    syms = syms.astype(U32, copy=False)   # uint8 boundary: oracle is U32
     depth, rate, tsize, sac_base, num_ctx = _geom_fields(geom)
     Sp = R.pad_steps(S)
     counts = np.asarray(counts)

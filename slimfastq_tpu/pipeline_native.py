@@ -143,13 +143,14 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     if want_pos_reset:
         _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
     sq, _, nbad, rec_bad = native.pack_lanes(data, seq_off, lengths, W, S,
-                                             map256=_BASE_TO_CODE)
+                                             map256=_BASE_TO_CODE,
+                                             dtype=np.uint8)
     if nbad:
         # rare path: run-length exception lane streams, emitted in C++
         # byte-identically to pipeline.stream_jobs (format v2); only the
         # records pack_lanes flagged are rescanned
         seqx_lane = native.seqx_encode(data, seq_off, lengths, Wa,
-                                       rec_bad=rec_bad)
+                                       rec_bad=rec_bad, nbad=nbad)
     else:
         seqx_lane = [np.zeros(0, dtype=np.uint8)] * Wa
     sx_counts = np.array([len(b) for b in seqx_lane], dtype=np.int64)
@@ -169,7 +170,7 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     qrange = maxq - minq + 1
     qual_depth = 6 if qrange <= 64 else (7 if qrange <= 128 else 8)
     qs, _, _, _ = native.pack_lanes(data, qual_off, lengths, W, S,
-                                    bias=minq)
+                                    bias=minq, dtype=np.uint8)
     from dataclasses import replace
     qgeom = replace(cfg.qual, depth=qual_depth)
     jobs["QUAL"] = ("qual", qgeom, qs, scounts, pos, reset)
