@@ -15,6 +15,9 @@
 #include <cstring>
 #include <cstdio>
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -193,25 +196,24 @@ static int64_t render(const uint8_t* prev_tok, int64_t prev_len,
     return len;
 }
 
-// Encode n record IDs + plus lines (previous = globally previous record
-// r-1, the frozen format rule; only the emitted streams are lane-interleaved).
-// flags_out: 3 bytes/record in lane-stream order [id_exc, plus_plain,
-// plus_idcopy] — identical to pipeline.py. Plus-line exceptions interleave
-// with ID exceptions per record in the per-lane exception stream, exactly
-// as the Python path writes them.
-int64_t ids_encode(const uint8_t* data,
-                   const int64_t* id_off, const int64_t* id_len,
-                   const int64_t* plus_off, const int64_t* plus_len,
-                   int64_t n, int64_t wa,
-                   uint8_t* flags_out,
-                   uint8_t* delta_arena, int64_t delta_stride,
-                   int64_t* delta_sizes,
-                   uint8_t* exc_arena, int64_t exc_stride,
-                   int64_t* exc_sizes) {
+// Worker for ids_encode: process records [lo, hi) into the given
+// per-lane buffers. Stateless across the range boundary — the delta
+// baseline is the raw BYTES of record r-1 (tokenized on the fly at the
+// range head, cached inside the range), so disjoint ranges produce
+// exactly the bytes the single-range pass would.
+static void ids_encode_range(const uint8_t* data,
+                             const int64_t* id_off, const int64_t* id_len,
+                             const int64_t* plus_off,
+                             const int64_t* plus_len,
+                             int64_t lo, int64_t hi, int64_t wa,
+                             uint8_t* flags_out,
+                             std::vector<std::vector<uint8_t>>& dbuf,
+                             std::vector<std::vector<uint8_t>>& xbuf) {
     std::vector<Tok> pt, ct;
-    std::vector<std::vector<uint8_t>> dbuf(wa), xbuf(wa);
     std::vector<uint8_t> tmp;  // hoisted: per-record alloc churn was ~2x
-    for (int64_t r = 0; r < n; r++) {
+    if (lo >= 1)
+        tokenize(data + id_off[lo - 1], id_len[lo - 1], pt);
+    for (int64_t r = lo; r < hi; r++) {
         int64_t w = r % wa;
         const uint8_t* cur = data + id_off[r];
         int64_t cn = id_len[r];
@@ -283,14 +285,59 @@ int64_t ids_encode(const uint8_t* data,
         }
         pt.swap(ct);  // cur tokens become prev tokens for record r+1
     }
+}
+
+// Encode n record IDs + plus lines (previous = globally previous record
+// r-1, the frozen format rule; only the emitted streams are lane-interleaved).
+// flags_out: 3 bytes/record in lane-stream order [id_exc, plus_plain,
+// plus_idcopy] — identical to pipeline.py. Plus-line exceptions interleave
+// with ID exceptions per record in the per-lane exception stream, exactly
+// as the Python path writes them. OpenMP: contiguous record ranges run in
+// parallel (the range worker is stateless across its head boundary);
+// per-lane streams are the range buffers concatenated in range order,
+// which is increasing-r order within every lane — byte-identical to the
+// serial pass.
+int64_t ids_encode(const uint8_t* data,
+                   const int64_t* id_off, const int64_t* id_len,
+                   const int64_t* plus_off, const int64_t* plus_len,
+                   int64_t n, int64_t wa,
+                   uint8_t* flags_out,
+                   uint8_t* delta_arena, int64_t delta_stride,
+                   int64_t* delta_sizes,
+                   uint8_t* exc_arena, int64_t exc_stride,
+                   int64_t* exc_sizes) {
+    int nt = 1;
+#ifdef _OPENMP
+    nt = omp_get_max_threads();
+#endif
+    if (nt > 1 && n < 4096) nt = 1;   // below this, spawn cost dominates
+    std::vector<std::vector<std::vector<uint8_t>>> dbufs(nt), xbufs(nt);
+    int64_t per = (n + nt - 1) / nt;
+#pragma omp parallel for schedule(static, 1) num_threads(nt)
+    for (int t = 0; t < nt; t++) {
+        dbufs[t].resize(wa);
+        xbufs[t].resize(wa);
+        int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+        if (lo < hi)
+            ids_encode_range(data, id_off, id_len, plus_off, plus_len,
+                             lo, hi, wa, flags_out, dbufs[t], xbufs[t]);
+    }
     for (int64_t w = 0; w < wa; w++) {
-        if ((int64_t)dbuf[w].size() > delta_stride ||
-            (int64_t)xbuf[w].size() > exc_stride) return -1;
-        memcpy(delta_arena + w * delta_stride, dbuf[w].data(),
-               dbuf[w].size());
-        delta_sizes[w] = dbuf[w].size();
-        memcpy(exc_arena + w * exc_stride, xbuf[w].data(), xbuf[w].size());
-        exc_sizes[w] = xbuf[w].size();
+        int64_t doff = 0, xoff = 0;
+        for (int t = 0; t < nt; t++) {
+            int64_t ds = (int64_t)dbufs[t][w].size();
+            int64_t xs = (int64_t)xbufs[t][w].size();
+            if (doff + ds > delta_stride || xoff + xs > exc_stride)
+                return -1;
+            memcpy(delta_arena + w * delta_stride + doff,
+                   dbufs[t][w].data(), (size_t)ds);
+            memcpy(exc_arena + w * exc_stride + xoff,
+                   xbufs[t][w].data(), (size_t)xs);
+            doff += ds;
+            xoff += xs;
+        }
+        delta_sizes[w] = doff;
+        exc_sizes[w] = xoff;
     }
     return 0;
 }
@@ -500,6 +547,8 @@ int64_t compact_lanes(const uint8_t* ebufs, const int32_t* eptrs,
                       int64_t NC, int64_t W, int64_t CB,
                       int64_t flush_bytes,
                       uint8_t* payload, int64_t maxlen, int64_t* lens) {
+    int overflow = 0;   // lanes write disjoint payload rows -> parallel
+#pragma omp parallel for schedule(static) reduction(|:overflow)
     for (int64_t w = 0; w < W; w++) {
         if (counts[w] <= 0) { lens[w] = 0; continue; }
         uint8_t* dst = payload + w * maxlen;
@@ -507,19 +556,19 @@ int64_t compact_lanes(const uint8_t* ebufs, const int32_t* eptrs,
         for (int64_t c = 0; c < NC; c++) {
             int32_t nb = eptrs[c * W + w];
             if (nb > 0) {
-                if (off + nb > maxlen) return -1;
+                if (off + nb > maxlen) { overflow = 1; break; }
                 memcpy(dst + off, ebufs + c * (W * CB) + w * CB,
                        (size_t)nb);
                 off += nb;
             }
         }
-        if (off + flush_bytes > maxlen) return -1;
+        if (off + flush_bytes > maxlen) { overflow = 1; continue; }
         uint32_t lw = low[w];
         for (int64_t j = 0; j < flush_bytes; j++)
             dst[off + j] = (uint8_t)(lw >> (24 - 8 * j));
         lens[w] = off + flush_bytes;
     }
-    return 0;
+    return overflow ? -1 : 0;
 }
 
 // ---------------------------------------------------------------------------
