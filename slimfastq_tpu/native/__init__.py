@@ -98,6 +98,8 @@ def _load():
     lib.seqx_encode.restype = i64
     lib.seqx_encode.argtypes = [p8, pi64, pi64, i64, i64, p8, i64, pi64,
                                 pi32]
+    lib.seqx_apply.restype = i64
+    lib.seqx_apply.argtypes = [pp8, pi64, i64, i64, i64, pi64, pi64, p8]
 
 
 _load()
@@ -361,6 +363,24 @@ def seqx_encode(src: np.ndarray, offs: np.ndarray, lens: np.ndarray,
             return [arena[w * st: w * st + sizes[w]].copy()
                     for w in range(wa)]
     raise RuntimeError("seqx_encode overflow")
+
+
+def seqx_apply(lane_bufs: list[np.ndarray], fmt: int, n: int,
+               rec_starts: np.ndarray, rec_lens: np.ndarray,
+               out: np.ndarray) -> None:
+    """Parse the aux-lane SEQX exception streams and patch the exception
+    chars into the record-major sequence buffer in place (decode twin of
+    seqx_encode; replaces the Python parse_seqx_lane loop, ~10 ms/64k
+    block). Raises ValueError on a malformed stream or out-of-bounds
+    patch position."""
+    bufs = [np.ascontiguousarray(b, dtype=np.uint8) for b in lane_bufs]
+    sizes = np.array([len(b) for b in bufs], dtype=np.int64)
+    ptrs, _keep = _bufptrs(bufs)
+    r = lib.seqx_apply(ptrs, _pi64(sizes), len(bufs), fmt, n,
+                       _pi64(np.ascontiguousarray(rec_starts)),
+                       _pi64(np.ascontiguousarray(rec_lens)), _p8(out))
+    if r < 0:
+        raise ValueError("corrupt SEQX exception stream")
 
 
 def minmax_ranges(src: np.ndarray, offs: np.ndarray, lens: np.ndarray):

@@ -771,6 +771,48 @@ int64_t seqx_encode(const uint8_t* src, const int64_t* offs,
     return total;
 }
 
+// Decode-side twin of seqx_encode: parse every aux lane's exception
+// stream (fmt>=2 run records, fmt==1 per-base) and patch the exception
+// chars straight into the record-major sequence buffer. Lanes are
+// independent and every patched position is unique -> parallel over
+// lanes. Returns 0, or -1 on a malformed stream / out-of-bounds patch
+// (corrupt container that slipped past the CRC).
+int64_t seqx_apply(const uint8_t* const* bufs, const int64_t* sizes,
+                   int64_t wa, int64_t fmt, int64_t n,
+                   const int64_t* rec_starts, const int64_t* rec_lens,
+                   uint8_t* out) {
+    int bad = 0;
+#pragma omp parallel for schedule(static) reduction(|:bad)
+    for (int64_t w = 0; w < wa; w++) {
+        const uint8_t* b = bufs[w];
+        int64_t len = sizes[w];
+        int64_t p = 0, ordinal = -1, prev_end = 0, prev_pos = -1;
+        while (p < len) {
+            uint64_t drec, dpos, runl = 0;
+            if (!get_varint(b, len, p, drec)) { bad = 1; break; }
+            if (!get_varint(b, len, p, dpos)) { bad = 1; break; }
+            if (fmt >= 2 && !get_varint(b, len, p, runl)) { bad = 1; break; }
+            if (p >= len) { bad = 1; break; }
+            uint8_t ch = b[p++];
+            int64_t start;
+            if (drec) {
+                ordinal += (int64_t)drec;
+                start = (int64_t)dpos;
+            } else {
+                start = (fmt >= 2 ? prev_end : prev_pos) + (int64_t)dpos;
+            }
+            int64_t r = w + ordinal * wa;
+            if (r < 0 || r >= n || start < 0 ||
+                start + (int64_t)runl >= rec_lens[r]) { bad = 1; break; }
+            uint8_t* dst = out + rec_starts[r] + start;
+            for (uint64_t k = 0; k <= runl; k++) dst[k] = ch;
+            prev_end = start + (int64_t)runl;
+            prev_pos = start;
+        }
+    }
+    return bad ? -1 : 0;
+}
+
 void minmax_ranges(const uint8_t* src, const int64_t* offs,
                    const int64_t* lens, int64_t n, int64_t* mn_out,
                    int64_t* mx_out) {

@@ -241,14 +241,8 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
     ida, ioff, ilen, pla, poff, plen = native.ids_decode(
         n, Wa, flags, idd_lanes, idx_lanes)
 
-    # 4. seq exceptions
-    from .pipeline import parse_seqx_lane
+    # 4. seq exceptions (parsed + patched in C++ after the SEQ unpack)
     sx_lanes = dec_lanes("SEQX")
-    exc: list[tuple[int, int, int]] = []  # (record, pos, char)
-    for w in range(Wa):
-        for ordinal, bpos, ch in parse_seqx_lane(sx_lanes[w].tobytes(),
-                                                 cfg.fmt):
-            exc.append((w + ordinal * Wa, bpos, ch))
 
     # 5/6. seq + qual
     from .pipeline import _lane_lengths_matrix
@@ -283,8 +277,7 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
     base_map[:4] = _CODE_TO_BASE
     seq_bytes = native.unpack_lanes(seq_syms & 3, lengths, W, rec_starts,
                                     total, map256=base_map)
-    for r, p, ch in exc:
-        seq_bytes[rec_starts[r] + p] = ch
+    native.seqx_apply(sx_lanes, cfg.fmt, n, rec_starts, lengths, seq_bytes)
     qual_bytes = native.unpack_lanes(qual_syms, lengths, W, rec_starts,
                                      total, bias=blk.minq)
 
