@@ -584,18 +584,25 @@ def _compact_device_path(ebufs, eptrs, low, counts, CB):
     pay_i32, _ = compact_pallas.compact_device_v2(ebufs, eptrs, Bmax)
     pay = np.asarray(pay_i32.astype(jnp.uint8))
     counts = np.asarray(counts)
+    W = len(counts)
     act = counts > 0
     lens = np.where(act, totals_np + R.FLUSH_BYTES, 0).astype(np.int64)
     maxlen = int(lens.max()) if lens.size else 0
-    payload = np.zeros((len(counts), maxlen), dtype=np.uint8)
-    lowh = np.asarray(low).astype(np.uint64)
-    for w in range(len(counts)):
-        if act[w]:
-            n = int(totals_np[w])
-            payload[w, :n] = pay[w, :n]
-            lw = int(lowh[w])
-            for j in range(R.FLUSH_BYTES):
-                payload[w, n + j] = (lw >> (24 - 8 * j)) & 0xFF
+    payload = np.zeros((W, maxlen), dtype=np.uint8)
+    # vectorised ragged copy + flush append (a per-lane Python loop here
+    # cost ~2 ms at W=1024)
+    span = min(maxlen, pay.shape[1])
+    cols = np.arange(span)[None, :]
+    mask = act[:, None] & (cols < totals_np[:, None])
+    payload[:, :span][mask] = pay[:, :span][mask]
+    if maxlen and act.any():
+        lowh = np.asarray(low).astype(np.uint64)
+        rows = np.nonzero(act)[0]
+        fcols = totals_np[rows, None] + np.arange(R.FLUSH_BYTES)[None, :]
+        shifts = (24 - 8 * np.arange(R.FLUSH_BYTES, dtype=np.uint64))
+        fvals = (lowh[rows, None] >> shifts[None, :]) & np.uint64(0xFF)
+        payload[np.repeat(rows, R.FLUSH_BYTES), fcols.ravel()] = \
+            fvals.ravel().astype(np.uint8)
     return payload, lens
 
 
