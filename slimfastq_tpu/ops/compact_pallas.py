@@ -12,7 +12,10 @@ the lane's running offset. The tail garbage beyond the chunk's valid count
 is overwritten by the next chunk's window, which starts exactly at
 offset + count — no masking needed; only the final chunk leaves garbage,
 which lies beyond the lane's recorded length. Offsets (exclusive prefix
-sums of eptrs, computed in XLA) arrive via scalar prefetch.
+sums of eptrs, computed in XLA) arrive laid out [W8, NC, _LG] through a
+per-program SMEM block — NOT whole-array scalar prefetch, which at
+production shape (NC=800, W=1024 -> 3.2 MB of int32) exceeds the 1 MB
+SMEM and fails to compile on real v5e hardware.
 
 Mosaic constraints honoured (docs/KERNEL_NOTES.md): no vector
 gather/scatter — only dynamic-offset block stores into a VMEM-resident
@@ -43,11 +46,9 @@ def _build(NC: int, W: int, CB: int, Bmax: int, interpret: bool):
     CBW = ((CB + 127) // 128) * 128 + 128
 
     def kernel(offs_ref, ebuf_ref, out_ref):
-        g = pl.program_id(0)
         c = pl.program_id(1)
-        base = c * W + g * _LG
         for j in range(_LG):
-            off = offs_ref[base + j]
+            off = offs_ref[0, c, j]
             aligned = pl.multiple_of((off >> 7) << 7, 128)
             shift = off - aligned
             win = out_ref[0, j, pl.ds(aligned, CBW)]
@@ -61,25 +62,22 @@ def _build(NC: int, W: int, CB: int, Bmax: int, interpret: bool):
             out_ref[0, j, pl.ds(aligned, CBW)] = jnp.where(mask, rolled,
                                                            win)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, _LG, CB), lambda g, c, offs: (c, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _LG, Bmax), lambda g, c, offs: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-
     @jax.jit
-    def run(ebufs_i32, offs_flat):
+    def run(ebufs_i32, offs_gcj):
         out = pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, NC, _LG), lambda g, c: (g, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, _LG, CB), lambda g, c: (c, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _LG, Bmax), lambda g, c: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((W8, _LG, Bmax), jnp.int32),
             interpret=interpret,
-        )(offs_flat, ebufs_i32)
+        )(offs_gcj, ebufs_i32)
         return out.reshape(W, Bmax)
 
     return run
@@ -114,9 +112,8 @@ def _build_v2(NC: int, W: int, CB: int, CBp: int, Bmax: int,
                     get_dma((c + 1) % 2, c + 1).start()
 
                 get_dma(slot, c).wait()
-                base = c * W + g * _LG
                 for j in range(_LG):
-                    off = offs_ref[base + j]
+                    off = offs_ref[0, c, j]
                     aligned = pl.multiple_of((off >> 7) << 7, 128)
                     shift = off - aligned
                     win = out_ref[0, j, pl.ds(aligned, CBW)]
@@ -138,22 +135,21 @@ def _build_v2(NC: int, W: int, CB: int, CBp: int, Bmax: int,
                       scratch=pltpu.VMEM((2, _LG, CBp), jnp.int32),
                       sem=pltpu.SemaphoreType.DMA((2,)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(W8,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, _LG, Bmax), lambda g, offs: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-
     @jax.jit
-    def run(ebufs_i32, offs_flat):
+    def run(ebufs_i32, offs_gcj):
         out = pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
+            grid=(W8,),
+            in_specs=[
+                pl.BlockSpec((1, NC, _LG), lambda g: (g, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec((1, _LG, Bmax), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((W8, _LG, Bmax), jnp.int32),
             interpret=interpret,
-        )(offs_flat, ebufs_i32)
+        )(offs_gcj, ebufs_i32)
         return out.reshape(W, Bmax)
 
     return run
@@ -171,10 +167,11 @@ def compact_device_v2(ebufs, eptrs, Bmax: int):
         eb = jnp.pad(eb, ((0, 0), (0, 0), (0, CBp - CB)))
     totals = jnp.sum(eptrs, axis=0)
     offs = jnp.cumsum(eptrs, axis=0) - eptrs
+    offs_gcj = offs.reshape(NC, W // _LG, _LG).transpose(1, 0, 2)
     Bk = Bmax + 512
     interpret = jax.default_backend() != "tpu"
     run = _build_v2(NC, W, CB, CBp, Bk, interpret)
-    return run(eb, offs.reshape(-1).astype(jnp.int32)), totals
+    return run(eb, offs_gcj.astype(jnp.int32)), totals
 
 
 def compact_device(ebufs, eptrs, Bmax: int):
@@ -186,7 +183,8 @@ def compact_device(ebufs, eptrs, Bmax: int):
     eb = ebufs.reshape(NC, W // _LG, _LG, CB).astype(jnp.int32)
     totals = jnp.sum(eptrs, axis=0)
     offs = jnp.cumsum(eptrs, axis=0) - eptrs  # exclusive prefix per lane
+    offs_gcj = offs.reshape(NC, W // _LG, _LG).transpose(1, 0, 2)
     Bk = Bmax + 512  # slack for the aligned RMW window of the last chunk
     interpret = jax.default_backend() != "tpu"
     run = _build(NC, W, CB, Bk, interpret)
-    return run(eb, offs.reshape(-1).astype(jnp.int32)), totals
+    return run(eb, offs_gcj.astype(jnp.int32)), totals

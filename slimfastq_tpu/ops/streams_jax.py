@@ -580,7 +580,9 @@ def _compact_device_path(ebufs, eptrs, low, counts, CB):
     eptrs_np = np.asarray(eptrs)
     totals_np = eptrs_np.sum(axis=0)
     Bmax = int(totals_np.max()) if totals_np.size else 0
-    Bmax = ((Bmax + R.FLUSH_BYTES + 127) // 128) * 128 + 128
+    # quantise the (data-dependent) payload bound to 4 KB buckets so the
+    # kernel compiles once per bucket, not once per block
+    Bmax = ((Bmax + R.FLUSH_BYTES + 4095) // 4096) * 4096 + 128
     pay_i32, _ = compact_pallas.compact_device_v2(ebufs, eptrs, Bmax)
     pay = np.asarray(pay_i32.astype(jnp.uint8))
     counts = np.asarray(counts)
