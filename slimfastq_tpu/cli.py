@@ -85,12 +85,21 @@ def _stats(encoded: bytes, raw_len: int, out=None) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.sharded and args.backend != "jax":
+        # the sharded path IS the jax mesh path; silently running jax
+        # kernels under --backend oracle would defeat backend bisection
+        print("sfq: --sharded requires the jax backend "
+              f"(got --backend {args.backend})", file=sys.stderr)
+        return 2
     backend = _pick_backend(args.backend)
 
     if args.streaming and args.decode:
         if args.input == "-" or not args.output:
             print("sfq: --streaming needs a file input and -o output",
                   file=sys.stderr)
+            return 2
+        if not os.path.exists(args.input):
+            print(f"sfq: {args.input}: no such file", file=sys.stderr)
             return 2
         if os.path.exists(args.output) and not args.force:
             print(f"sfq: {args.output} exists (use -f to overwrite)",
@@ -99,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         from .api import decode_file_streaming
         try:
             decode_file_streaming(args.input, args.output, backend=backend)
-        except ValueError as e:
+        except (ValueError, OSError) as e:
             print(f"sfq: {e}", file=sys.stderr)
             return 1
         return 0

@@ -169,6 +169,26 @@ LEVELS: dict[int, CodecConfig] = {
                    seq=SeqGeom(order=11, rate=3)),
 }
 
+# FROZEN: the level table as of the final container-format-1 build.
+# v1 headers carry only the level byte (no geometry), so decoding a v1
+# container MUST reconstruct exactly these geometries forever — editing
+# LEVELS above must never touch this table. Pinned by the v1 golden
+# fixture plus per-level v1 decode tests.
+LEVELS_V1: dict[int, CodecConfig] = {
+    1: CodecConfig(level=1,
+                   qual=QualGeom(q2_bits=0, pos_bits=2, pos_shift=5, rate=5),
+                   seq=SeqGeom(order=5, rate=3)),
+    2: CodecConfig(level=2,
+                   qual=QualGeom(q2_bits=4, pos_bits=1, pos_shift=6, rate=5),
+                   seq=SeqGeom(order=7, rate=3)),
+    3: CodecConfig(level=3,
+                   qual=QualGeom(q2_bits=6, pos_bits=1, pos_shift=6, rate=5),
+                   seq=SeqGeom(order=10, rate=3)),
+    4: CodecConfig(level=4,
+                   qual=QualGeom(q2_bits=6, pos_bits=2, pos_shift=5, rate=5),
+                   seq=SeqGeom(order=11, rate=3)),
+}
+
 
 def config_for_level(level: int, **overrides) -> CodecConfig:
     base = LEVELS[level]

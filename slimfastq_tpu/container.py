@@ -111,8 +111,14 @@ def read_header(f: BinaryIO) -> CodecConfig:
     if version == 1:
         level, _flags, lanes, aux, blockrec = struct.unpack(
             "<BBIII", _read_exact(f, 14))
-        return config_for_level(level, lanes=lanes, aux_lanes=aux,
-                                block_records=blockrec, fmt=1)
+        # v1 headers carry no geometry: reconstruct from the FROZEN
+        # round-1 level table (config.LEVELS_V1), never the live one —
+        # level geometries may evolve under format v2+ (which serializes
+        # them) without breaking old containers.
+        from .config import LEVELS_V1
+        base = LEVELS_V1[level]
+        return replace(base, lanes=lanes, aux_lanes=aux,
+                       block_records=blockrec, fmt=1)
     if version != VERSION:
         raise ValueError(f"unsupported sfq version {version}")
     rest = _read_exact(f, HEADER_SIZE[2] - 6)

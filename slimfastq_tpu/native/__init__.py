@@ -342,18 +342,24 @@ def seqx_encode(src: np.ndarray, offs: np.ndarray, lens: np.ndarray,
     whose page-zeroing alone cost ~15 ms/block."""
     n = len(offs)
     total = int(np.asarray(lens).sum())
-    # worst case: alternating exception chars -> ~13 bytes per exception
-    stride_full = 13 * (total // max(wa, 1)) \
+    # Strides must bound ONE lane, since a skewed input can concentrate
+    # every exception in a single aux lane (records r % wa == w). <=32 B
+    # covers the worst varint triple + char per run, and runs <= bad
+    # bases, so 32*nbad + 64 is a true single-lane bound; without nbad
+    # the unconditional bound is 32 B per sequence byte. The balanced
+    # estimate (13 B per lane-share of the bytes) goes first so the
+    # common case never touches a huge arena; np.empty is lazily mapped,
+    # so even the fallback rung only faults in the pages it writes.
+    stride_est = 13 * (total // max(wa, 1)) \
         + 13 * ((n + wa - 1) // max(wa, 1)) + 64
-    # a single lane could hold every exception run; <=32 B covers the
-    # worst varint triple + char per run (runs <= nbad), with the full
-    # bound as a retry fallback
-    stride = min(stride_full, 32 * nbad + 64) if nbad is not None \
-        else stride_full
+    bound = 32 * nbad + 64 if nbad is not None else 32 * total + 64
+    ladder = [min(stride_est, bound)]
+    if ladder[-1] < bound:
+        ladder.append(bound)
     rb = _pi32(np.ascontiguousarray(rec_bad, dtype=np.int32)) \
         if rec_bad is not None else \
         ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
-    for st in (stride, stride_full):
+    for st in ladder:
         arena = np.empty(wa * st, dtype=np.uint8)
         sizes = np.zeros(wa, dtype=np.int64)
         r = lib.seqx_encode(_p8(src), _pi64(np.ascontiguousarray(offs)),
@@ -362,7 +368,7 @@ def seqx_encode(src: np.ndarray, offs: np.ndarray, lens: np.ndarray,
         if r >= 0:
             return [arena[w * st: w * st + sizes[w]].copy()
                     for w in range(wa)]
-    raise RuntimeError("seqx_encode overflow")
+    raise RuntimeError("seqx_encode overflow")  # unreachable: bound rung
 
 
 def seqx_apply(lane_bufs: list[np.ndarray], fmt: int, n: int,

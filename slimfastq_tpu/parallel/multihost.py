@@ -48,8 +48,8 @@ def initialize(coordinator_address: str | None = None,
         from jax._src import distributed as _dist
         if getattr(_dist.global_state, "client", None) is not None:
             return  # already initialised
-    except ImportError:  # private layout changed: fall through, the
-        pass             # double-init RuntimeError below covers it
+    except (ImportError, AttributeError):  # private layout changed: fall
+        pass             # through; the double-init RuntimeError covers it
     if coordinator_address is not None:
         if (num_processes is None or process_id is None
                 or not 0 <= process_id < num_processes):
@@ -111,7 +111,14 @@ def merge_containers(shard_bytes: list[bytes]) -> bytes:
     out = io.BytesIO()
     for i, sb in enumerate(shard_bytes):
         f = io.BytesIO(sb)
-        container.read_header(f)
+        cfg = container.read_header(f)
+        if cfg.fmt != container.VERSION:
+            # v1 shards have a different index tail layout; shards are
+            # always produced by the current encoder, so reject clearly
+            # rather than misparse (mirrors Writer.resume).
+            raise ValueError(
+                f"shard {i} is format v{cfg.fmt}; merge_containers only "
+                f"accepts current-format (v{container.VERSION}) shards")
         header_end = f.tell()
         hdr = sb[:header_end]
         headers.append(hdr)

@@ -129,34 +129,30 @@ def decode_fastq_sharded(data: bytes, mesh=None) -> bytes:
     # 1. per-block host-side decode of aux streams to recover lengths
     #    (needed for the SEQ/QUAL lane layout) — reuse the sequential
     #    decoder for everything, but intercept SEQ/QUAL via the batch path
-    W = cfg.lanes
-    lens_list, counts_list, steps_list = [], [], []
-    pay_seq, len_seq, pay_q, len_q, qgeoms = [], [], [], [], []
-    lengths_per_block = []
+    from ..ops.streams_np import build_pos_reset
     from ..pipeline import decode_block_lengths
+
+    W = cfg.lanes
+    counts_list, steps_list = [], []
+    pay_seq, len_seq, pay_q, len_q, qgeoms = [], [], [], [], []
+    pos_list, reset_list = [], []
     for blk in blocks:
         # decode LEN stream only (cheap, aux lanes) to get read lengths —
         # shared format logic with the sequential decoder (no drift)
         lengths = decode_block_lengths(blk, cfg, backend=streams_jax)
-        lengths_per_block.append(lengths)
         ll = _lane_lengths_matrix(lengths, W)
         counts = ll.sum(axis=0)
         counts_list.append(counts)
-        steps_list.append(int(counts.max()) if counts.size else 0)
-        from ..ops.streams_np import build_pos_reset
+        steps = int(counts.max()) if counts.size else 0
+        steps_list.append(steps)
+        pos, reset = build_pos_reset(ll, steps)
+        pos_list.append(pos)
+        reset_list.append(reset)
         pay_seq.append(blk.streams["SEQ"].payload)
         len_seq.append(blk.streams["SEQ"].lane_lens)
         pay_q.append(blk.streams["QUAL"].payload)
         len_q.append(blk.streams["QUAL"].lane_lens)
         qgeoms.append(replace(cfg.qual, depth=blk.qual_depth))
-
-    pos_list, reset_list = [], []
-    for b, blk in enumerate(blocks):
-        from ..ops.streams_np import build_pos_reset
-        ll = _lane_lengths_matrix(lengths_per_block[b], W)
-        pos, reset = build_pos_reset(ll, steps_list[b])
-        pos_list.append(pos)
-        reset_list.append(reset)
 
     seq_dec = pmesh.decode_stream_blocks("seq", cfg.seq, mesh, pay_seq,
                                          len_seq, counts_list, steps_list,

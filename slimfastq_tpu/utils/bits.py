@@ -33,8 +33,8 @@ def get_varint(buf, pos: int) -> tuple[int, int]:
     for _ in range(MAX_VARINT_BYTES):
         if pos >= end:
             raise ValueError("truncated varint (corrupt stream)")
-        b = buf[pos]
-        pos += 1
+        b = int(buf[pos])  # int() guards numpy uint8 buffers: a raw
+        pos += 1           # uint8 would wrap in the << shift below
         v |= (b & 0x7F) << shift
         if not (b & 0x80):
             return v, pos

@@ -77,14 +77,23 @@ def test_container_golden_native_matches():
     assert enc == _read("golden_v2_l3.sfq")
 
 
-def test_v1_container_still_decodes():
-    """Round-1 (VERSION 1) containers decode bit-exactly: legacy header,
-    un-prefixed blocks, per-base SEQX exceptions."""
-    old = _read("golden_v1.sfq")
+@pytest.mark.parametrize("level", [1, 2, 3, 4])
+def test_v1_container_still_decodes(level):
+    """Round-1 (VERSION 1) containers decode bit-exactly at EVERY level:
+    legacy header, un-prefixed blocks, per-base SEQX exceptions — and the
+    frozen LEVELS_V1 geometry table (v1 headers carry only the level byte,
+    so evolving the live LEVELS table must not change v1 decoding; a
+    LEVELS[4] geometry change silently corrupting v1 L4 decode was a
+    round-2 review finding)."""
+    name = "golden_v1.sfq" if level == 2 else f"golden_v1_l{level}.sfq"
+    old = _read(name)
     ref = _read("golden_v1.fastq")
     f = io.BytesIO(old)
     cfg = container.read_header(f)
-    assert cfg.fmt == 1
+    assert cfg.fmt == 1 and cfg.level == level
+    from slimfastq_tpu.config import LEVELS_V1
+    assert (cfg.qual, cfg.seq) == (LEVELS_V1[level].qual,
+                                   LEVELS_V1[level].seq)
     assert decode_fastq(old, use_native=False) == ref
     from slimfastq_tpu import native
     if native.available():

@@ -53,6 +53,17 @@ def test_native_multi_block():
     _both(synth_fastq(700, read_len=40, seed=7, var_len=True))
 
 
+def test_native_lane_skewed_exceptions():
+    """One record carrying (nearly) ALL non-ACGT exception bytes: aux lane
+    0 holds every SEQX run, so a per-lane arena stride derived from the
+    balanced average overflows (round-2 review finding — seqx_encode raised
+    RuntimeError while the Python path encoded fine)."""
+    reads = [b"NX" * 5000] + [b"ACGT" * 16] * 15
+    data = b"".join(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s))
+                    for i, s in enumerate(reads))
+    _both(data)
+
+
 def test_native_index_rejects_malformed():
     with pytest.raises(ValueError):
         native.fastq_index(b"not fastq\n")
