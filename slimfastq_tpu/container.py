@@ -49,7 +49,8 @@ import numpy as np
 from .config import (ByteGeom, CodecConfig, FlagGeom, QualGeom, SeqGeom,
                      config_for_level)
 from .pipeline import STREAMS, EncodedBlock, EncodedStream
-from .utils.bits import get_svarint, get_varint, put_svarint, put_varint
+from .utils.bits import (get_varint, get_varint_arr, put_varint,
+                         put_varint_arr, unzigzag_arr, zigzag_arr)
 
 MAGIC = b"SFQT"
 END_MAGIC = b"SFQE"
@@ -71,22 +72,17 @@ def _read_exact(f: BinaryIO, n: int) -> bytes:
 
 def _write_u32_array(out: bytearray, arr: np.ndarray) -> None:
     put_varint(out, len(arr))
-    prev = 0
-    for v in arr.tolist():
-        put_svarint(out, int(v) - prev)
-        prev = int(v)
+    a = np.asarray(arr, dtype=np.int64)
+    deltas = np.diff(a, prepend=np.int64(0))
+    out += put_varint_arr(zigzag_arr(deltas)).tobytes()
 
 
 def _read_u32_array(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
     n, pos = get_varint(buf, pos)
     if n > (1 << 20):
         raise ValueError(f"implausible lane-array length {n}")
-    arr = np.zeros(n, dtype=np.int64)
-    prev = 0
-    for i in range(n):
-        d, pos = get_svarint(buf, pos)
-        prev += d
-        arr[i] = prev
+    u, pos = get_varint_arr(buf, pos, n)
+    arr = np.cumsum(unzigzag_arr(u), dtype=np.int64)
     return arr, pos
 
 
@@ -150,8 +146,12 @@ def _block_body(blk: EncodedBlock) -> bytes:
             _write_u32_array(hdr, es.sym_counts)
         _write_u32_array(hdr, es.lane_lens)
         body.write(hdr)
-        for w in range(len(es.lane_lens)):
-            body.write(es.payload[w, : es.lane_lens[w]].tobytes())
+        # per-lane unpadded payload concat == boolean-mask row gather
+        lens = np.asarray(es.lane_lens, dtype=np.int64)
+        maxlen = es.payload.shape[1]
+        if lens.size and maxlen:
+            mask = np.arange(maxlen)[None, :] < lens[:, None]
+            body.write(es.payload[mask].tobytes())
     return body.getvalue()
 
 
@@ -185,12 +185,11 @@ def _parse_body(buf: bytes, pos: int):
         if pos + total > len(buf):
             raise ValueError("container truncated (short lane payload)")
         payload = np.zeros((len(lane_lens), maxlen), dtype=np.uint8)
-        for w in range(len(lane_lens)):
-            L = int(lane_lens[w])
-            if L:
-                payload[w, :L] = np.frombuffer(buf, dtype=np.uint8,
-                                               count=L, offset=pos)
-                pos += L
+        if total:
+            mask = np.arange(maxlen)[None, :] < lane_lens[:, None]
+            payload[mask] = np.frombuffer(buf, dtype=np.uint8,
+                                          count=total, offset=pos)
+            pos += total
         streams[name] = EncodedStream(sym_counts, lane_lens, payload)
     return EncodedBlock(num_records, minq, qual_depth, streams), pos
 

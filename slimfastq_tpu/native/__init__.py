@@ -92,6 +92,8 @@ def _load():
                                      ctypes.c_int32, p8, pi64]
     lib.minmax_ranges.restype = None
     lib.minmax_ranges.argtypes = [p8, pi64, pi64, i64, pi64, pi64]
+    lib.scan_bad.restype = i64
+    lib.scan_bad.argtypes = [p8, pi64, pi64, i64, pi32]
     lib.compact_lanes.restype = i64
     lib.compact_lanes.argtypes = [p8, pi32, pu32, pi64, i64, i64, i64, i64,
                                   p8, i64, pi64]
@@ -387,6 +389,17 @@ def seqx_apply(lane_bufs: list[np.ndarray], fmt: int, n: int,
                        _pi64(np.ascontiguousarray(rec_lens)), _p8(out))
     if r < 0:
         raise ValueError("corrupt SEQX exception stream")
+
+
+def scan_bad(src: np.ndarray, offs: np.ndarray, lens: np.ndarray):
+    """Per-record non-ACGT base counts + total (read-only census for the
+    device-pack path; the pack itself happens on the TPU)."""
+    n = len(offs)
+    rec_bad = np.zeros(max(n, 1), dtype=np.int32)
+    nbad = lib.scan_bad(_p8(src), _pi64(np.ascontiguousarray(offs)),
+                        _pi64(np.ascontiguousarray(lens)), n,
+                        _pi32(rec_bad))
+    return int(nbad), rec_bad[:n]
 
 
 def minmax_ranges(src: np.ndarray, offs: np.ndarray, lens: np.ndarray):

@@ -34,39 +34,70 @@ int64_t fastq_index(const uint8_t* data, int64_t n,
                     int64_t* plus_off, int64_t* plus_len,
                     int64_t* qual_off, int64_t* qual_len,
                     int64_t* err_pos) {
-    int64_t i = 0, r = 0;
-    while (i < n) {
-        if (r >= cap) { *err_pos = r; return -2; }
-        // line 1: @id
-        if (data[i] != '@') { *err_pos = r; return -1; }
-        int64_t s = i + 1;
-        const uint8_t* nl = (const uint8_t*)memchr(data + s, '\n', n - s);
-        if (!nl) { *err_pos = r; return -1; }
-        id_off[r] = s; id_len[r] = nl - (data + s);
-        i = (nl - data) + 1;
-        // line 2: seq
-        s = i;
-        nl = (const uint8_t*)memchr(data + s, '\n', n - s);
-        if (!nl) { *err_pos = r; return -1; }
-        seq_off[r] = s; seq_len[r] = nl - (data + s);
-        i = (nl - data) + 1;
-        // line 3: +...
-        s = i;
-        if (s >= n || data[s] != '+') { *err_pos = r; return -1; }
-        nl = (const uint8_t*)memchr(data + s, '\n', n - s);
-        if (!nl) { *err_pos = r; return -1; }
-        plus_off[r] = s; plus_len[r] = nl - (data + s);
-        i = (nl - data) + 1;
-        // line 4: qual
-        s = i;
-        nl = (const uint8_t*)memchr(data + s, '\n', n - s);
-        if (!nl) { *err_pos = r; return -1; }
-        qual_off[r] = s; qual_len[r] = nl - (data + s);
-        if (qual_len[r] != seq_len[r]) { *err_pos = r; return -1; }
-        i = (nl - data) + 1;
-        r++;
+    if (n == 0) return 0;
+    // pass 1: newline positions, chunk-parallel (memchr per chunk), then
+    // stitched by a prefix over per-chunk counts
+    int nt = 1;
+#ifdef _OPENMP
+    nt = omp_get_max_threads();
+#endif
+    if (n < (1 << 20)) nt = 1;
+    std::vector<std::vector<int64_t>> nls(nt);
+    int64_t per = (n + nt - 1) / nt;
+#pragma omp parallel for schedule(static, 1) num_threads(nt)
+    for (int t = 0; t < nt; t++) {
+        int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+        std::vector<int64_t>& v = nls[t];
+        v.reserve((size_t)((hi - lo) / 32 + 8));
+        const uint8_t* p = data + lo;
+        const uint8_t* end = data + hi;
+        while (p < end) {
+            const uint8_t* nl = (const uint8_t*)memchr(p, '\n', end - p);
+            if (!nl) break;
+            v.push_back(nl - data);
+            p = nl + 1;
+        }
     }
-    return r;
+    std::vector<int64_t> base(nt + 1, 0);
+    for (int t = 0; t < nt; t++)
+        base[t + 1] = base[t] + (int64_t)nls[t].size();
+    int64_t m = base[nt];
+    std::vector<int64_t> nl(m);
+#pragma omp parallel for schedule(static, 1) num_threads(nt)
+    for (int t = 0; t < nt; t++)
+        if (!nls[t].empty())
+            memcpy(nl.data() + base[t], nls[t].data(),
+                   nls[t].size() * sizeof(int64_t));
+    // structural checks: 4 lines per record, file ends with a newline
+    int64_t r_total = m / 4;
+    if (m % 4 != 0 || m == 0 || nl[m - 1] != n - 1) {
+        *err_pos = r_total;
+        return -1;
+    }
+    if (r_total > cap) { *err_pos = cap; return -2; }
+    // pass 2: record fields from the newline array, record-parallel;
+    // first malformed record reported (min over threads)
+    int64_t badr = r_total;
+#if defined(_OPENMP) && _OPENMP >= 201107
+#pragma omp parallel for schedule(static) reduction(min:badr)
+#endif
+    for (int64_t r = 0; r < r_total; r++) {
+        int64_t l0 = (r == 0) ? 0 : nl[4 * r - 1] + 1;
+        int64_t e0 = nl[4 * r];
+        int64_t l1 = e0 + 1, e1 = nl[4 * r + 1];
+        int64_t l2 = e1 + 1, e2 = nl[4 * r + 2];
+        int64_t l3 = e2 + 1, e3 = nl[4 * r + 3];
+        if (data[l0] != '@' || data[l2] != '+' || (e1 - l1) != (e3 - l3)) {
+            if (r < badr) badr = r;
+            continue;
+        }
+        id_off[r] = l0 + 1; id_len[r] = e0 - l0 - 1;
+        seq_off[r] = l1; seq_len[r] = e1 - l1;
+        plus_off[r] = l2; plus_len[r] = e2 - l2;
+        qual_off[r] = l3; qual_len[r] = e3 - l3;
+    }
+    if (badr < r_total) { *err_pos = badr; return -1; }
+    return r_total;
 }
 
 // ---------------------------------------------------------------------------
@@ -450,11 +481,16 @@ int64_t fastq_assemble(int64_t n,
                        const uint8_t* plus_arena, const int64_t* plus_off,
                        const int64_t* plus_len,
                        uint8_t* out, int64_t cap) {
-    int64_t p = 0;
+    // serial prefix of output offsets, then record-parallel memcpy fill
+    std::vector<int64_t> op(n + 1);
+    op[0] = 0;
+    for (int64_t r = 0; r < n; r++)
+        op[r + 1] = op[r] + 1 + id_len[r] + 1 + lengths[r] + 1
+            + plus_len[r] + 1 + lengths[r] + 1;
+    if (op[n] > cap) return -1;
+#pragma omp parallel for schedule(static)
     for (int64_t r = 0; r < n; r++) {
-        int64_t need = 1 + id_len[r] + 1 + lengths[r] + 1 + plus_len[r]
-            + 1 + lengths[r] + 1;
-        if (p + need > cap) return -1;
+        int64_t p = op[r];
         out[p++] = '@';
         memcpy(out + p, id_arena + id_off[r], id_len[r]);
         p += id_len[r];
@@ -469,7 +505,7 @@ int64_t fastq_assemble(int64_t n,
         p += lengths[r];
         out[p++] = '\n';
     }
-    return p;
+    return op[n];
 }
 
 
@@ -813,10 +849,35 @@ int64_t seqx_apply(const uint8_t* const* bufs, const int64_t* sizes,
     return bad ? -1 : 0;
 }
 
+// Non-ACGT census only (no packing): per-record exception-base counts +
+// total. Pure read pass for the device-pack path, where the layout
+// transform itself happens on the TPU and the host only needs to know
+// which records feed the SEQX exception stream.
+int64_t scan_bad(const uint8_t* src, const int64_t* offs,
+                 const int64_t* lens, int64_t n, int32_t* rec_bad) {
+    int64_t nbad = 0;
+#pragma omp parallel for schedule(static) reduction(+:nbad)
+    for (int64_t r = 0; r < n; r++) {
+        const uint8_t* s = src + offs[r];
+        int64_t L = lens[r];
+        int32_t bad = 0;
+        for (int64_t i = 0; i < L; i++) {
+            uint8_t c = s[i];
+            bad += !(c == 'A' || c == 'C' || c == 'G' || c == 'T');
+        }
+        rec_bad[r] = bad;
+        nbad += bad;
+    }
+    return nbad;
+}
+
 void minmax_ranges(const uint8_t* src, const int64_t* offs,
                    const int64_t* lens, int64_t n, int64_t* mn_out,
                    int64_t* mx_out) {
     int mn = 255, mx = 0;
+#if defined(_OPENMP) && _OPENMP >= 201107
+#pragma omp parallel for schedule(static) reduction(min:mn) reduction(max:mx)
+#endif
     for (int64_t r = 0; r < n; r++) {
         const uint8_t* s = src + offs[r];
         for (int64_t i = 0; i < lens[r]; i++) {

@@ -701,3 +701,111 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
     out = np.asarray(syms)[:S]
     mask = np.arange(S)[:, None] < counts[None, :]
     return np.where(mask, out, np.uint8(0))
+
+
+# ---------------------------------------------------------------------------
+# Device-raw SEQ+QUAL drivers: the raw block bytes cross to the device
+# once and the lane pack/unpack happens there (ops/pack_jax) — the host
+# never builds the [S, W] matrices (they were its largest prep cost).
+# ---------------------------------------------------------------------------
+
+
+def encode_seq_qual_raw(seq_geom, qual_geom, data: np.ndarray,
+                        seq_offs: np.ndarray, qual_offs: np.ndarray,
+                        lengths: np.ndarray, W: int, seq_map: np.ndarray,
+                        qual_bias: int, ll_mat: np.ndarray,
+                        counts: np.ndarray):
+    """Encode the SEQ and QUAL streams from raw block bytes with
+    on-device lane packing. Returns {"SEQ": (payload, lens), "QUAL": ...}
+    byte-identical to encode_stream_ll on host-packed matrices."""
+    from . import pack_jax
+    from ..utils.stats import trace
+    counts = np.asarray(counts)
+    S = int(counts.max()) if counts.size else 0
+    Sp = R.pad_steps(S)
+    if Sp == 0 or not (counts > 0).any():
+        z = (np.zeros((W, 0), dtype=np.uint8), np.zeros(W, dtype=np.int64))
+        return {"SEQ": z, "QUAL": (z[0].copy(), z[1].copy())}
+    Dp = pack_jax.pad_flat(len(data))
+    dpad = np.zeros(Dp, dtype=np.uint8)
+    dpad[: len(data)] = data
+    data_dev = jax.device_put(dpad)
+    with trace("sfq.encode.pack_pair"):
+        seq_syms, qual_syms = pack_jax.pack_pair_device(
+            data_dev, seq_offs, qual_offs, lengths, W, Sp, seq_map,
+            qual_bias)
+    Rpl = max(ll_mat.shape[0], 1)
+    ll = np.zeros((Rpl, W), dtype=np.int32)
+    ll[: ll_mat.shape[0]] = ll_mat
+    ll_dev = jnp.asarray(ll)
+    counts_dev = jnp.asarray(counts.astype(np.int32))
+    out = {}
+    for name, kind, geom, syms in (("SEQ", "seq", seq_geom, seq_syms),
+                                   ("QUAL", "qual", qual_geom, qual_syms)):
+        sched = _build_schedule_ll(kind, geom, Sp, S, W, Rpl)
+        with trace(f"sfq.encode.{kind}.schedule"):
+            idx_c, bit_c = sched(syms, ll_dev, counts_dev)
+        for hard in (False, True):
+            run = _build_encode(kind, geom, Sp, W, hard)
+            with trace(f"sfq.encode.{kind}.coder"):
+                ebufs, eptrs, low, emax = run(idx_c, bit_c)
+            CB = _chunk_bytes(geom.depth, hard)
+            if int(emax) <= CB:
+                if _DEVICE_COMPACT and W % 8 == 0:
+                    out[name] = _compact_device_path(ebufs, eptrs, low,
+                                                     counts, CB)
+                else:
+                    out[name] = _compact_host(np.asarray(ebufs),
+                                              np.asarray(eptrs),
+                                              np.asarray(low), counts, CB)
+                break
+        else:
+            raise AssertionError(
+                "encode chunk overflow even with hard buffers")
+    return out
+
+
+def decode_seq_qual_raw(seq_geom, qual_geom,
+                        seq_payload: np.ndarray, seq_lens: np.ndarray,
+                        qual_payload: np.ndarray, qual_lens: np.ndarray,
+                        ll_mat: np.ndarray, counts: np.ndarray, S: int,
+                        rec_starts: np.ndarray, lengths: np.ndarray,
+                        total: int, seq_map: np.ndarray, qual_bias: int):
+    """Decode SEQ and QUAL and unpack them on device straight to
+    record-major flat byte buffers (seq through seq_map, qual + bias).
+    Returns (seq_bytes, qual_bytes) of length `total`."""
+    from . import pack_jax
+    from ..utils.stats import trace
+    W = seq_payload.shape[0]
+    counts = np.asarray(counts)
+    Sp = R.pad_steps(S)
+    if Sp == 0 or not (counts > 0).any() or total == 0:
+        return (np.zeros(total, dtype=np.uint8),
+                np.zeros(total, dtype=np.uint8))
+    Rpl = max(ll_mat.shape[0], 1)
+    ll = np.zeros((Rpl, W), dtype=np.int32)
+    ll[: ll_mat.shape[0]] = ll_mat
+    ll_dev = jnp.asarray(ll)
+    counts_dev = jnp.asarray(counts.astype(np.int32))
+    dev_syms = []
+    for kind, geom, payload, lens in (("seq", seq_geom, seq_payload,
+                                       seq_lens),
+                                      ("qual", qual_geom, qual_payload,
+                                       qual_lens)):
+        Lb = max(int(payload.shape[1]), 1)
+        Lb = ((Lb + 2047) // 2048) * 2048
+        pay = np.zeros((W, Lb), dtype=np.uint8)
+        pay[:, : payload.shape[1]] = payload
+        Lw = Lb // 4
+        words = pay.view("<u4").reshape(W * Lw)
+        run = _build_decode_ll(kind, geom, Sp, S, W, Rpl, Lw)
+        with trace(f"sfq.decode.{kind}.coder"):
+            dev_syms.append(run(jnp.asarray(words),
+                                jnp.asarray(lens.astype(np.int32)),
+                                ll_dev, counts_dev))
+    with trace("sfq.decode.unpack_pair"):
+        seq_flat, qual_flat = pack_jax.unpack_pair_device(
+            dev_syms[0], dev_syms[1], rec_starts, lengths, W, total,
+            seq_map, qual_bias)
+    return (np.asarray(seq_flat)[:total].copy(),
+            np.asarray(qual_flat)[:total].copy())

@@ -19,6 +19,13 @@ from .ops import streams_np
 
 U32 = np.uint32
 
+# device-side byte<->symbol maps (full 256-entry tables, gather-friendly):
+# encode maps non-ACGT to symbol 0 (the SEQX stream patches them back on
+# decode); decode maps any symbol byte through its low 2 bits
+_BASE_TO_CODE_DEV = np.where(_BASE_TO_CODE == 255, 0,
+                             _BASE_TO_CODE).astype(np.uint8)
+_CODE_TO_BASE_FULL = _CODE_TO_BASE[np.arange(256) & 3].astype(np.uint8)
+
 
 def _group_order(n: int, W: int) -> np.ndarray:
     """Stable grouping of records by lane (record r -> lane r % W)."""
@@ -78,13 +85,17 @@ def _per_record_lane_layout(lengths: np.ndarray, W: int):
 
 
 def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
-                     cfg: CodecConfig, want_pos_reset: bool = True):
+                     cfg: CodecConfig, want_pos_reset: bool = True,
+                     device_pack: bool = False):
     """Native/vectorised twin of pipeline.stream_jobs: builds every
     stream's (kind, geom, syms, counts, pos, reset) coding job straight
     from the raw buffer + index arrays (no per-record Python objects).
     Returns (jobs, n, minq, qual_depth, ll_mat). With
     want_pos_reset=False, SEQ/QUAL jobs carry pos=reset=None and callers
-    derive them on device from ll_mat (encode_stream_ll)."""
+    derive them on device from ll_mat (encode_stream_ll). With
+    device_pack=True, SEQ/QUAL jobs carry syms=None too — the lane pack
+    happens on the device (backend.encode_seq_qual_raw) and the host
+    only runs the non-ACGT census (native.scan_bad) for SEQX."""
     n = hi - lo
     W, Wa = cfg.lanes, cfg.aux_lanes
     sl = slice(lo, hi)
@@ -142,9 +153,13 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     pos = reset = None
     if want_pos_reset:
         _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
-    sq, _, nbad, rec_bad = native.pack_lanes(data, seq_off, lengths, W, S,
-                                             map256=_BASE_TO_CODE,
-                                             dtype=np.uint8)
+    if device_pack:
+        sq = None
+        nbad, rec_bad = native.scan_bad(data, seq_off, lengths)
+    else:
+        sq, _, nbad, rec_bad = native.pack_lanes(data, seq_off, lengths, W,
+                                                 S, map256=_BASE_TO_CODE,
+                                                 dtype=np.uint8)
     if nbad:
         # rare path: run-length exception lane streams, emitted in C++
         # byte-identically to pipeline.stream_jobs (format v2); only the
@@ -169,8 +184,11 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         minq = maxq = 33
     qrange = maxq - minq + 1
     qual_depth = 6 if qrange <= 64 else (7 if qrange <= 128 else 8)
-    qs, _, _, _ = native.pack_lanes(data, qual_off, lengths, W, S,
-                                    bias=minq, dtype=np.uint8)
+    if device_pack:
+        qs = None
+    else:
+        qs, _, _, _ = native.pack_lanes(data, qual_off, lengths, W, S,
+                                        bias=minq, dtype=np.uint8)
     from dataclasses import replace
     qgeom = replace(cfg.qual, depth=qual_depth)
     jobs["QUAL"] = ("qual", qgeom, qs, scounts, pos, reset)
@@ -181,12 +199,30 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
 def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
                       cfg: CodecConfig, backend) -> EncodedBlock:
     ll_capable = hasattr(backend, "encode_stream_ll")
+    raw_capable = (hi > lo and hasattr(backend, "encode_seq_qual_raw")
+                   and native.available())
     jobs, n, minq, qual_depth, ll_mat = stream_jobs_fast(
-        data, idx, lo, hi, cfg, want_pos_reset=not ll_capable)
+        data, idx, lo, hi, cfg, want_pos_reset=not ll_capable,
+        device_pack=raw_capable)
+    raw_out = None
+    if raw_capable:
+        # ship the block's raw byte range once; offsets become block-local
+        sl = slice(lo, hi)
+        lengths = idx["seq_len"][sl].astype(np.int64)
+        base = int(idx["id_off"][lo]) - 1  # the record's '@'
+        last = hi - 1
+        end = int(idx["qual_off"][last] + idx["qual_len"][last])
+        raw_out = backend.encode_seq_qual_raw(
+            jobs["SEQ"][1], jobs["QUAL"][1], data[base:end],
+            idx["seq_off"][sl] - base, idx["qual_off"][sl] - base,
+            lengths, cfg.lanes, _BASE_TO_CODE_DEV, minq, ll_mat,
+            jobs["SEQ"][3])
     streams: dict[str, EncodedStream] = {}
     for name in STREAMS:
         kind, geom, syms, counts, pos, reset = jobs[name]
-        if ll_capable and name in ("SEQ", "QUAL"):
+        if raw_out is not None and name in ("SEQ", "QUAL"):
+            payload, lens = raw_out[name]
+        elif ll_capable and name in ("SEQ", "QUAL"):
             payload, lens = backend.encode_stream_ll(kind, geom, syms,
                                                      ll_mat, counts)
         else:
@@ -250,6 +286,27 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
     qs = blk.streams["QUAL"]
     from dataclasses import replace
     qgeom = replace(cfg.qual, depth=blk.qual_depth)
+
+    if hasattr(backend, "decode_seq_qual_raw") and native.available():
+        # device-raw path: decode + lane-unpack on device, d2h two flat
+        # record-major buffers (no [S, W] matrices on the host)
+        ll_mat = _lane_lengths_matrix(lengths, W)
+        scounts = ll_mat.sum(axis=0)
+        S = int(scounts.max()) if scounts.size else 0
+        rec_starts = np.zeros(n, dtype=np.int64)
+        rec_starts[1:] = np.cumsum(lengths[:-1])
+        total = int(lengths.sum())
+        seq_bytes, qual_bytes = backend.decode_seq_qual_raw(
+            cfg.seq, qgeom, ss.payload, ss.lane_lens, qs.payload,
+            qs.lane_lens, ll_mat, scounts, S, rec_starts, lengths, total,
+            _CODE_TO_BASE_FULL, blk.minq)
+        native.seqx_apply(sx_lanes, cfg.fmt, n, rec_starts, lengths,
+                          seq_bytes)
+        return native.fastq_assemble(
+            n, ida, ioff, ilen,
+            np.ascontiguousarray(seq_bytes), rec_starts,
+            np.ascontiguousarray(qual_bytes), lengths,
+            pla, poff, plen)
     if hasattr(backend, "decode_stream_ll"):
         ll_mat = _lane_lengths_matrix(lengths, W)
         scounts = ll_mat.sum(axis=0)
