@@ -5,15 +5,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Headline value = END-TO-END single-chip throughput: 2 x raw FASTQ bytes
 divided by the sum of every pipeline stage on the host (parse/index,
-stream-job prep, schedule packing, emission compaction, container
+stream-job prep, aux-stream packing, compaction flush, container
 write + read, decode prep, decode host finish) plus every on-device
-kernel (schedule + coder, per stream, encode and decode), measured with
-block_until_ready. This is the number a user gets from `sfq` on a
-production host, per block, single-threaded.
+kernel (lane pack/unpack, schedule + coder per stream, Pallas payload
+compaction, encode and decode), measured with block_until_ready. This is
+the number a user gets from `sfq` on a production host, per block,
+single-threaded.
+
+Round-3 pipeline shape (device-resident layout transform): the raw block
+bytes cross to the device once; lane packing (gather), coding, payload
+compaction (Pallas), decoding and lane unpacking (scatter) all happen on
+device; the host keeps parsing, the serial ID/LEN codecs, container IO
+and final FASTQ assembly.
 
 Host<->device transfer time is EXCLUDED from the headline and reported
 separately (tunnel_h2d_s / tunnel_d2h_s with byte volumes): this dev
-harness reaches its TPU through a ~1-25 MB/s tunnel where a production
+harness reaches its TPU through a ~0.4-25 MB/s tunnel where a production
 host's PCIe/DMA moves GB/s (docs/KERNEL_NOTES.md §6). The transferred
 volumes are reported so any assumed link speed can be priced in.
 
@@ -26,13 +33,13 @@ Protocol notes (pinned; BASELINE.md "Bench protocol"):
   Rationale, both re-measured here: (a) after the first device->host
   readback of ANY size — even a 4-byte scalar — an axon process
   degrades to ~0.3-2.3 s/exec (KERNEL_NOTES §6; big h2d is harmless),
-  so each TPU phase does ALL kernel timing before its first readback;
-  (b) once the device has been touched, even pure numpy/OpenMP host
-  stages in that process intermittently inflate ~3-6x, so host stages
-  are timed in processes that never initialize the device;
+  so each TPU phase does ALL kernel timing before its first readback
+  (the Pallas compaction kernel's data-dependent output bound comes
+  from the CPU pass's container, not from an eptrs readback);
 - the CPU and TPU passes must produce byte-identical containers
   (asserted) — every bench run re-pins device/host kernel equivalence
-  at production shape;
+  at production shape (device compaction is exercised on the TPU pass,
+  host compaction on the CPU pass; they are byte-identical by test);
 - kernels timed with SFQ_BENCH_ITERS (default 3) repetitions after a
   warm-up; host stages timed the same way (steady-state per-block cost
   on a host that encodes many blocks — the first block additionally
@@ -120,75 +127,148 @@ def _cpath():
     return os.path.join(WORKDIR, f"bench_{MODE}.sfq")
 
 
+def _cpu_container_lens():
+    """Per-stream lane-length arrays from the CPU pass's container (used
+    by the TPU pass to size the Pallas compaction output without any
+    device->host readback)."""
+    import numpy as np
+    from slimfastq_tpu import container
+    path = os.path.join(WORKDIR, "bench_cpu.sfq")
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        f = io.BytesIO(fh.read())
+    cfg = container.read_header(f)
+    blk = container.read_block(f, cfg.fmt)
+    return {name: np.asarray(es.lane_lens)
+            for name, es in blk.streams.items()}
+
+
 def phase_encode() -> int:
-    """Host prep -> h2d -> device kernels (timed before any big d2h) ->
-    d2h -> native compaction -> container write."""
+    """Host prep -> raw h2d -> device pack + kernels + Pallas compaction
+    (all timed before any readback) -> d2h -> flush append -> write."""
     import numpy as np
     import jax
+    import jax.numpy as jnp
     from slimfastq_tpu import container, native
     from slimfastq_tpu.ops import ranger_np as R
     from slimfastq_tpu.ops import streams_jax as SJ
+    from slimfastq_tpu.ops import pack_jax as PJ
     from slimfastq_tpu.pipeline import STREAMS, EncodedBlock, EncodedStream
-    from slimfastq_tpu.pipeline_native import stream_jobs_fast
+    from slimfastq_tpu.pipeline_native import (stream_jobs_fast,
+                                               _BASE_TO_CODE_DEV)
 
     reads, read_len, level, cfg = _cfg()
     data_b = _data(reads, read_len)
     raw = len(data_b)
     data = np.frombuffer(data_b, dtype=np.uint8)
+    on_tpu = jax.default_backend() == "tpu"
+    W = cfg.lanes
 
     t = {k: 0.0 for k in ("host_index", "host_prep", "host_pack", "h2d",
-                          "dev_enc", "d2h", "host_compact", "host_write",
-                          "host_cold_extra")}
+                          "dev_pack", "dev_enc", "dev_compact", "d2h",
+                          "host_compact", "host_write", "host_cold_extra")}
     dt, cold, (idx, n) = _timeit_host(lambda: native.fastq_index(data))
     t["host_index"] = dt
     t["host_cold_extra"] += max(0.0, cold - dt)
     dt, cold, (jobs, _, minq, qual_depth, ll_mat) = _timeit_host(
         lambda: stream_jobs_fast(data, idx, 0, n, cfg,
-                                 want_pos_reset=False))
+                                 want_pos_reset=False, device_pack=True))
     t["host_prep"] = dt
     t["host_cold_extra"] += max(0.0, cold - dt)
+
+    # ---- raw block bytes: pad (host) + one h2d ----
+    lengths = idx["seq_len"][:n].astype(np.int64)
+    base = int(idx["id_off"][0]) - 1
+    end = int(idx["qual_off"][n - 1] + idx["qual_len"][n - 1])
+
+    def _padraw():
+        dpad = np.zeros(PJ.pad_flat(end - base), dtype=np.uint8)
+        dpad[: end - base] = data[base:end]
+        return dpad
+    dt, cold, dpad = _timeit_host(_padraw)
+    t["host_pack"] += dt
+    t["host_cold_extra"] += max(0.0, cold - dt)
+    t0 = pc()
+    data_dev = jax.block_until_ready(jax.device_put(dpad))
+    t["h2d"] += pc() - t0
+    h2d_bytes = dpad.nbytes
+
+    # ---- device lane pack (SEQ + QUAL fused) ----
+    counts_sq = np.asarray(jobs["SEQ"][3])
+    S = int(counts_sq.max()) if counts_sq.size else 0
+    Sp = R.pad_steps(S)
+    Rpl = max((n + W - 1) // W, 1)
+    off_s, llm = PJ._mats(idx["seq_off"][:n] - base, lengths, W, Rpl)
+    off_q, _ = PJ._mats(idx["qual_off"][:n] - base, lengths, W, Rpl)
+    t0 = pc()
+    d_off_s, d_off_q, d_llm, d_smap, d_qbias, d_counts = \
+        jax.block_until_ready([jax.device_put(a) for a in (
+            off_s, off_q, llm, _BASE_TO_CODE_DEV, np.int32(minq),
+            counts_sq.astype(np.int32))])
+    t["h2d"] += pc() - t0
+    h2d_bytes += off_s.nbytes + off_q.nbytes + llm.nbytes + 256 + 4 \
+        + counts_sq.nbytes
+    runp = PJ._build_pack_pair(Sp, W, Rpl, int(dpad.shape[0]))
+    dt, (seq_syms, qual_syms) = _timeit(
+        lambda: runp(data_dev, d_off_s, d_off_q, d_llm, d_smap, d_qbias))
+    t["dev_pack"] += dt
+    dev_syms = {"SEQ": seq_syms, "QUAL": qual_syms}
 
     # Kernel-timing pass: NO device->host readback of any size until every
     # kernel has been timed (KERNEL_NOTES §6: one scalar d2h permanently
     # degrades the process). The soft-buffer overflow check (emax) is
     # deferred; an overflowing stream is re-coded hard, untimed, below.
+    cpu_lens = _cpu_container_lens() if on_tpu else None
     per_stream = {}
     for name in STREAMS:
         kind, geom, syms, counts, pos, reset = jobs[name]
-        S, W = syms.shape
         counts = np.asarray(counts)
-        Sp = R.pad_steps(S)
-        if Sp == 0 or not (counts > 0).any():
-            per_stream[name] = None
-            continue
         use_ll = name in ("SEQ", "QUAL")
-
-        def _pack():
-            syms_p = SJ._pad2(syms, Sp, W)
-            if use_ll:
-                Rpl = max(ll_mat.shape[0], 1)
-                llm = np.zeros((Rpl, W), dtype=np.int32)
-                llm[: ll_mat.shape[0]] = ll_mat
-                return (syms_p, llm, counts.astype(np.int32))
-            return (syms_p, SJ._pad2(pos, Sp, W),
-                    SJ._pad2(reset, Sp, W), counts.astype(np.int32))
-        dt, cold, host_args = _timeit_host(_pack)
-        t["host_pack"] += dt
-        t["host_cold_extra"] += max(0.0, cold - dt)
-        t0 = pc()
-        dargs = jax.block_until_ready(
-            [jax.device_put(a) for a in host_args])
-        t["h2d"] += pc() - t0
         if use_ll:
-            sched = SJ._build_schedule_ll(kind, geom, Sp, S, W,
-                                          host_args[1].shape[0])
+            Sp_s, W_s = Sp, W
+            if Sp_s == 0 or not (counts > 0).any():
+                per_stream[name] = None
+                continue
+            sched = SJ._build_schedule_ll(kind, geom, Sp_s, S, W_s, Rpl)
+            dt_s, sc = _timeit(sched, dev_syms[name], d_llm, d_counts)
         else:
-            sched = SJ._build_schedule(kind, geom, Sp, W)
-        dt_s, sc = _timeit(sched, *dargs)
-        coder = SJ._build_encode(kind, geom, Sp, W, False)
+            S_s, W_s = syms.shape
+            Sp_s = R.pad_steps(S_s)
+            if Sp_s == 0 or not (counts > 0).any():
+                per_stream[name] = None
+                continue
+
+            def _pack():
+                return (SJ._pad2(syms, Sp_s, W_s),
+                        SJ._pad2(pos, Sp_s, W_s),
+                        SJ._pad2(reset, Sp_s, W_s),
+                        counts.astype(np.int32))
+            dt, cold, host_args = _timeit_host(_pack)
+            t["host_pack"] += dt
+            t["host_cold_extra"] += max(0.0, cold - dt)
+            t0 = pc()
+            dargs = jax.block_until_ready(
+                [jax.device_put(a) for a in host_args])
+            t["h2d"] += pc() - t0
+            h2d_bytes += sum(a.nbytes for a in host_args)
+            sched = SJ._build_schedule(kind, geom, Sp_s, W_s)
+            dt_s, sc = _timeit(sched, *dargs)
+        coder = SJ._build_encode(kind, geom, Sp_s, W_s, False)
         dt_e, out = _timeit(coder, *sc)
         t["dev_enc"] += dt_s + dt_e
-        per_stream[name] = (out, sc, counts, kind, geom, Sp, W)
+        comp = None
+        if on_tpu and cpu_lens is not None and W_s % 8 == 0:
+            # Pallas device compaction, sized from the CPU container
+            from slimfastq_tpu.ops import compact_pallas
+            Bmax = int(cpu_lens[name].max()) if len(cpu_lens[name]) else 0
+            Bmax = ((Bmax + 4095) // 4096) * 4096 + 128
+            dt_c, comp = _timeit(
+                lambda o=out, B=Bmax: (
+                    compact_pallas.compact_device_v2(o[0], o[1], B)[0],
+                    jnp.sum(o[1], axis=0)))
+            t["dev_compact"] += dt_c
+        per_stream[name] = (out, sc, counts, kind, geom, Sp_s, W_s, comp)
 
     # all kernel timings done; the first readbacks happen here
     hard_retries = 0
@@ -197,32 +277,47 @@ def phase_encode() -> int:
     for name, v in per_stream.items():
         if v is None:
             continue
-        out, sc, counts, kind, geom, Sp, W = v
+        out, sc, counts, kind, geom, Sp_s, W_s, comp = v
         CB = SJ._chunk_bytes(geom.depth, False)
         if int(out[3]) > CB:   # soft-buffer overflow: re-code, untimed
             hard_retries += 1
-            coder = SJ._build_encode(kind, geom, Sp, W, True)
+            coder = SJ._build_encode(kind, geom, Sp_s, W_s, True)
             out = coder(*sc)
             CB = SJ._chunk_bytes(geom.depth, True)
             assert int(out[3]) <= CB, f"{name}: hard-buffer overflow"
+            comp = None
         t0 = pc()
-        ebufs = np.asarray(out[0])
-        eptrs = np.asarray(out[1])
-        low = np.asarray(out[2])
-        t["d2h"] += pc() - t0
-        d2h_bytes += ebufs.nbytes + eptrs.nbytes + low.nbytes
-        comp_in[name] = (ebufs, eptrs, low, counts, CB)
+        if comp is not None:
+            pay = np.asarray(comp[0].astype(jnp.uint8))
+            totals = np.asarray(comp[1]).astype(np.int64)
+            low = np.asarray(out[2])
+            t["d2h"] += pc() - t0
+            d2h_bytes += pay.nbytes + totals.nbytes + low.nbytes
+            comp_in[name] = ("dev", pay, totals, low, counts)
+        else:
+            ebufs = np.asarray(out[0])
+            eptrs = np.asarray(out[1])
+            low = np.asarray(out[2])
+            t["d2h"] += pc() - t0
+            d2h_bytes += ebufs.nbytes + eptrs.nbytes + low.nbytes
+            comp_in[name] = ("host", ebufs, eptrs, low, counts, CB)
 
     streams = {}
     for name in STREAMS:
         kind, geom, syms, counts, pos, reset = jobs[name]
         counts = np.asarray(counts)
         if per_stream[name] is None:
-            W = syms.shape[1]
-            payload = np.zeros((W, 0), dtype=np.uint8)
-            lens = np.zeros(W, dtype=np.int64)
+            W_s = W if name in ("SEQ", "QUAL") else cfg.aux_lanes
+            payload = np.zeros((W_s, 0), dtype=np.uint8)
+            lens = np.zeros(W_s, dtype=np.int64)
+        elif comp_in[name][0] == "dev":
+            _, pay, totals, low, counts = comp_in[name]
+            dt, cold, (payload, lens) = _timeit_host(
+                lambda: SJ._flush_append(pay, totals, low, counts))
+            t["host_compact"] += dt
+            t["host_cold_extra"] += max(0.0, cold - dt)
         else:
-            ebufs, eptrs, low, counts, CB = comp_in[name]
+            _, ebufs, eptrs, low, counts, CB = comp_in[name]
             dt, cold, (payload, lens) = _timeit_host(
                 lambda: SJ._compact_host(ebufs, eptrs, low, counts, CB))
             t["host_compact"] += dt
@@ -246,29 +341,33 @@ def phase_encode() -> int:
     t["raw"] = raw
     t["compressed"] = os.path.getsize(_cpath())
     t["d2h_bytes"] = d2h_bytes
+    t["h2d_bytes"] = h2d_bytes
     with open(os.path.join(WORKDIR, f"enc_{MODE}.json"), "w") as f:
         json.dump(t, f)
     return 0
 
 
 def phase_decode() -> int:
-    """Container read -> host prep -> h2d -> device kernels (timed before
-    any big d2h) -> d2h -> host finish (shim backend) -> verify."""
+    """Container read -> host prep -> h2d -> device kernels + lane unpack
+    (timed before any big d2h) -> d2h flats -> host finish -> verify."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from dataclasses import replace
-    from slimfastq_tpu import container
+    from slimfastq_tpu import container, native
     from slimfastq_tpu.ops import ranger_np as R
     from slimfastq_tpu.ops import streams_jax as SJ
+    from slimfastq_tpu.ops import pack_jax as PJ
     from slimfastq_tpu.pipeline import STREAMS, _lane_lengths_matrix
-    from slimfastq_tpu.pipeline_native import decode_block_fast
+    from slimfastq_tpu.pipeline_native import (decode_block_fast,
+                                               _CODE_TO_BASE_FULL)
 
     reads, read_len, level, _ = _cfg()
     data_b = _data(reads, read_len)
 
     t = {k: 0.0 for k in ("host_read", "host_dec_prep", "h2d", "dev_dec",
-                          "d2h", "host_dec_finish", "host_cold_extra")}
+                          "dev_unpack", "d2h", "host_dec_finish",
+                          "host_cold_extra")}
 
     def _read():
         with open(_cpath(), "rb") as fh:
@@ -292,7 +391,7 @@ def phase_decode() -> int:
     Sq = int(scounts.max()) if scounts.size else 0
     rec_per_lane = (n - np.arange(Wa) + Wa - 1) // Wa
     qgeom = replace(cfg.qual, depth=blk.qual_depth)
-    specs = []   # (name, kind, geom, counts, S, use_ll)
+    specs = []   # (name, kind, geom, counts, S)
     for name in STREAMS:
         es = blk.streams[name]
         if name == "FLAG":
@@ -343,6 +442,7 @@ def phase_decode() -> int:
     t["host_dec_prep"] = dt
     t["host_cold_extra"] += max(0.0, cold - dt)
 
+    h2d_bytes = 0
     dev_syms = {}
     for name, kind, geom, counts, S in specs:
         if packed[name] is None:
@@ -352,6 +452,7 @@ def phase_decode() -> int:
         dargs = jax.block_until_ready(
             [jax.device_put(a) for a in host_args])
         t["h2d"] += pc() - t0
+        h2d_bytes += sum(a.nbytes for a in host_args)
         if name in ("SEQ", "QUAL"):
             Rpl = host_args[2].shape[0]
             run = SJ._build_decode_ll(kind, geom, Sp, S, W, Rpl, Lw)
@@ -362,9 +463,35 @@ def phase_decode() -> int:
         t["dev_dec"] += dt
         dev_syms[name] = syms
 
+    # ---- device lane unpack (SEQ + QUAL fused), timed pre-readback ----
+    total = int(lengths.sum())
+    rec_starts = np.zeros(n, dtype=np.int64)
+    rec_starts[1:] = np.cumsum(lengths[:-1])
+    Rpl = max((n + W - 1) // W, 1)
+    off_mat, llm2 = PJ._mats(rec_starts, lengths, W, Rpl)
+    t0 = pc()
+    d_off, d_llm2, d_dmap, d_qb = jax.block_until_ready(
+        [jax.device_put(a) for a in (off_mat, llm2, _CODE_TO_BASE_FULL,
+                                     np.int32(blk.minq))])
+    t["h2d"] += pc() - t0
+    Sp_sq = R.pad_steps(Sq)
+    runu = PJ._build_unpack_pair(Sp_sq, W, Rpl, PJ.pad_flat(total))
+    dt, flats = _timeit(
+        lambda: runu(dev_syms["SEQ"], dev_syms["QUAL"], d_off, d_llm2,
+                     d_dmap, d_qb))
+    t["dev_unpack"] += dt
+
+    # readbacks: flats for SEQ/QUAL, symbol matrices for aux streams
     d2h_bytes = 0
+    t0 = pc()
+    seq_flat = np.asarray(flats[0])[:total].copy()
+    qual_flat = np.asarray(flats[1])[:total].copy()
+    t["d2h"] += pc() - t0
+    d2h_bytes += total * 2
     host_syms = {}
     for name, kind, geom, counts, S in specs:
+        if name in ("SEQ", "QUAL"):
+            continue
         if packed[name] is None:
             Wn = blk.streams[name].payload.shape[0]
             host_syms[name] = np.zeros((S, Wn), dtype=np.uint8)
@@ -379,20 +506,20 @@ def phase_decode() -> int:
         host_syms[name] = np.where(mask, out, arr.dtype.type(0))
 
     class _Shim:
-        """Returns the already-device-decoded symbol matrices in
-        decode_block_fast's deterministic call order."""
+        """Returns the already-device-decoded aux symbol matrices and the
+        device-unpacked SEQ/QUAL flats in decode_block_fast's
+        deterministic call order."""
         def __init__(self):
             self.plain = [host_syms[k] for k in
                           ("LEN", "FLAG", "IDD", "IDX", "SEQX")]
-            self.ll = [host_syms[k] for k in ("SEQ", "QUAL")]
 
         def decode_stream(self, kind, geom, payload, lens, counts, S,
                           pos=None, reset=None):
             return self.plain.pop(0)
 
-        def decode_stream_ll(self, kind, geom, payload, lens, ll_mat,
-                             counts, S):
-            return self.ll.pop(0)
+        def decode_seq_qual_raw(self, *a, **k):
+            # fresh copies: decode_block_fast patches SEQX in place
+            return seq_flat.copy(), qual_flat.copy()
 
     dt, cold, out = _timeit_host(
         lambda: decode_block_fast(blk, cfg, _Shim()))
@@ -400,6 +527,7 @@ def phase_decode() -> int:
     t["host_cold_extra"] += max(0.0, cold - dt)
     assert out == data_b, "round-trip mismatch"
     t["d2h_bytes"] = d2h_bytes
+    t["h2d_bytes"] = h2d_bytes
     with open(os.path.join(WORKDIR, f"dec_{MODE}.json"), "w") as f:
         json.dump(t, f)
     return 0
@@ -446,7 +574,8 @@ def summarize(enc, dec, denc, ddec, level):
                 + enc["host_compact"] + enc["host_write"])
     host_dec = (dec["host_read"] + dec["host_dec_prep"]
                 + dec["host_dec_finish"])
-    dev = denc["dev_enc"] + ddec["dev_dec"]
+    dev = (denc["dev_enc"] + denc["dev_pack"] + denc["dev_compact"]
+           + ddec["dev_dec"] + ddec["dev_unpack"])
     tunnel = denc["h2d"] + denc["d2h"] + ddec["h2d"] + ddec["d2h"]
     e2e = host_enc + host_dec + dev
     return {
@@ -461,12 +590,15 @@ def summarize(enc, dec, denc, ddec, level):
         "device_gbps": round(2 * raw / dev / 1e9, 4),
         "host_encode_s": round(host_enc, 5),
         "host_decode_s": round(host_dec, 5),
-        "device_encode_s": round(denc["dev_enc"], 5),
-        "device_decode_s": round(ddec["dev_dec"], 5),
+        "device_encode_s": round(denc["dev_enc"] + denc["dev_pack"]
+                                 + denc["dev_compact"], 5),
+        "device_decode_s": round(ddec["dev_dec"] + ddec["dev_unpack"], 5),
         "tunnel_s": round(tunnel, 5),
         "tunnel_h2d_s": round(denc["h2d"] + ddec["h2d"], 5),
         "tunnel_d2h_s": round(denc["d2h"] + ddec["d2h"], 5),
         "tunnel_d2h_bytes": denc["d2h_bytes"] + ddec["d2h_bytes"],
+        "tunnel_h2d_bytes": denc.get("h2d_bytes", 0)
+        + ddec.get("h2d_bytes", 0),
         "tunnel_note": "host<->device time excluded from headline; this "
                        "dev harness tunnels at ~MB/s where production "
                        "PCIe moves GB/s (KERNEL_NOTES §6)",
@@ -482,6 +614,13 @@ def summarize(enc, dec, denc, ddec, level):
             "read": round(dec["host_read"], 5),
             "dec_prep": round(dec["host_dec_prep"], 5),
             "dec_finish": round(dec["host_dec_finish"], 5),
+        },
+        "device_breakdown_s": {
+            "pack": round(denc["dev_pack"], 5),
+            "enc_coder": round(denc["dev_enc"], 5),
+            "compact": round(denc["dev_compact"], 5),
+            "dec_coder": round(ddec["dev_dec"], 5),
+            "unpack": round(ddec["dev_unpack"], 5),
         },
     }
 

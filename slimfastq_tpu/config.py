@@ -121,10 +121,14 @@ class CodecConfig:
     """Full codec configuration for one container."""
     level: int = 3
     # container format version this config decodes/encodes (container.py
-    # VERSION). Encoding always writes the current version; fmt=1 appears
-    # only on configs read from legacy round-1 containers (per-base SEQX
-    # exceptions, un-CRC'd header/index, no block length prefix).
-    fmt: int = 2
+    # VERSION). Encoding always writes the current version; older values
+    # appear only on configs read from legacy containers. fmt=1 (round
+    # 1): per-base SEQX exceptions, un-CRC'd header/index, no block
+    # length prefix. fmt=2 (round 2): ID/LEN delta baseline is the
+    # globally previous record r-1 (one serial decode chain). fmt=3:
+    # baseline is the aux-lane-local previous record r-Wa, making ID/LEN
+    # decode lane-parallel.
+    fmt: int = 3
     qual: QualGeom = field(default_factory=QualGeom)
     seq: SeqGeom = field(default_factory=SeqGeom)
     bytes_: ByteGeom = field(default_factory=ByteGeom)

@@ -7,6 +7,12 @@ encode/decode, ordered multi-host gather, resumable partial output, and
 bounded-memory streaming decode (SURVEY.md §5 failure detection /
 checkpoint-resume).
 
+Format VERSION 3 = VERSION 2 layout with the ID/LEN delta baseline moved
+from the globally previous record r-1 to the aux-lane-local previous
+record r-Wa (pipeline.py stream_jobs), which makes the host-side ID/LEN
+decode chains independent per lane and therefore lane-parallel. The
+container framing is byte-identical to v2 apart from the version field.
+
 Format VERSION 2 layout (all little-endian):
   header:  magic 'SFQT' | u16 version | u8 level | u8 flags
            | u32 lanes | u32 aux_lanes | u32 block_records
@@ -54,9 +60,9 @@ from .utils.bits import (get_varint, get_varint_arr, put_varint,
 
 MAGIC = b"SFQT"
 END_MAGIC = b"SFQE"
-VERSION = 2
+VERSION = 3
 
-HEADER_SIZE = {1: 20, 2: 36}
+HEADER_SIZE = {1: 20, 2: 36, 3: 36}
 
 # streams whose per-lane symbol counts the decoder can derive (FLAG from
 # record count; SEQ/QUAL from decoded read lengths) — not stored
@@ -115,7 +121,7 @@ def read_header(f: BinaryIO) -> CodecConfig:
         base = LEVELS_V1[level]
         return replace(base, lanes=lanes, aux_lanes=aux,
                        block_records=blockrec, fmt=1)
-    if version != VERSION:
+    if version not in (2, VERSION):
         raise ValueError(f"unsupported sfq version {version}")
     rest = _read_exact(f, HEADER_SIZE[2] - 6)
     hdr = magic + struct.pack("<H", version) + rest
@@ -127,7 +133,7 @@ def read_header(f: BinaryIO) -> CodecConfig:
         struct.unpack_from("<12B", hdr, 20)
     base = config_for_level(level, lanes=lanes, aux_lanes=aux,
                             block_records=blockrec)
-    return replace(base, fmt=2,
+    return replace(base, fmt=version,
                    qual=QualGeom(depth=qd, q2_bits=qq2, delta_bits=qdb,
                                  pos_bits=qpb, pos_shift=qps, rate=qr),
                    seq=SeqGeom(order=so, rate=sr),

@@ -2,12 +2,13 @@
 SURVEY.md §2 "Read-ID codec": alternating text/numeric segments, numeric
 deltas vs the previous record, structural changes to an exception stream).
 
-Frozen-format note: the delta baseline is the *globally previous* record
-r-1 in file order (NOT lane-local r-W). ID/length delta modeling runs
-serially on the host either way; only the emitted delta/exception byte
-streams are interleaved over aux lanes for device coding. Both this module
-and native/host.cpp implement the same global-r-1 rule; changing it would
-break bit-format compatibility.
+Frozen-format note: the delta baseline depends on the container format
+version (pipeline.py keys it off cfg.fmt): v1/v2 delta against the
+*globally previous* record r-1 (one serial decode chain); v3+ delta
+against the *aux-lane-local* previous record r-Wa, which makes each
+lane's decode chain independent — native/host.cpp decodes all Wa lanes
+in parallel. Both this module and native/host.cpp implement both rules;
+changing either would break bit-format compatibility.
 
 Host-side (string-shaped, cheap); the produced symbol streams are
 entropy-coded on device (SURVEY.md §3.5 doctrine: hosts own parsing).
@@ -102,17 +103,32 @@ def num_digit_tokens(s: bytes) -> int:
 
 
 def encode_record_id(prev: bytes | None, cur: bytes,
-                     delta_out: bytearray, exc_out: bytearray) -> int:
+                     delta_out: bytearray, exc_out: bytearray,
+                     delta_bias: int = 0) -> int:
     """Encode one ID vs its lane-previous. Returns the id_exception flag bit.
 
-    flag=0: digit-token svarint deltas appended to delta_out.
+    flag=0: digit-token svarint deltas appended to delta_out. In format
+    v3 deltas are stored biased by -delta_bias (= aux-lane count): a
+    counter incrementing by 1 per record advances by exactly Wa along a
+    lane chain, so the common case stores zigzag(0). Opaque-but-identical
+    digit tokens (> MAX_DIGITS) store a literal 0, which the decoder
+    ignores.
     flag=1: varint(len) + raw bytes appended to exc_out.
     """
     if prev is not None:
         deltas = try_delta(prev, cur)
         if deltas is not None:
-            for d in deltas:
-                put_svarint(delta_out, d)
+            pt = tokenize(prev)
+            di = 0
+            for is_d, tok in pt:
+                if not is_d:
+                    continue
+                d = deltas[di]
+                if _digit_value(tok) is None:
+                    put_svarint(delta_out, 0)  # opaque: decoder ignores
+                else:
+                    put_svarint(delta_out, d - delta_bias)
+                di += 1
             return 0
     put_varint(exc_out, len(cur))
     exc_out += cur
@@ -120,8 +136,8 @@ def encode_record_id(prev: bytes | None, cur: bytes,
 
 
 def decode_record_id(prev: bytes | None, flag: int,
-                     delta_buf, dpos: int, exc_buf, xpos: int
-                     ) -> tuple[bytes, int, int]:
+                     delta_buf, dpos: int, exc_buf, xpos: int,
+                     delta_bias: int = 0) -> tuple[bytes, int, int]:
     """Decoder mirror. Returns (id, new dpos, new xpos)."""
     if flag == 0:
         assert prev is not None
@@ -129,7 +145,7 @@ def decode_record_id(prev: bytes | None, flag: int,
         deltas = []
         for _ in range(nd):
             d, dpos = get_svarint(delta_buf, dpos)
-            deltas.append(d)
+            deltas.append(d + delta_bias)
         return apply_delta(prev, deltas), dpos, xpos
     ln, xpos = get_varint(exc_buf, xpos)
     cur = bytes(exc_buf[xpos:xpos + ln])

@@ -57,14 +57,14 @@ def _load():
     lib.fastq_index.restype = i64
     lib.fastq_index.argtypes = [p8, i64, i64] + [pi64] * 9
     lib.lens_encode.restype = i64
-    lib.lens_encode.argtypes = [pi64, i64, i64, p8, i64, pi32]
+    lib.lens_encode.argtypes = [pi64, i64, i64, i64, p8, i64, pi32]
     lib.lens_decode.restype = i64
-    lib.lens_decode.argtypes = [pp8, pi64, i64, i64, pi64]
+    lib.lens_decode.argtypes = [pp8, pi64, i64, i64, i64, pi64]
     lib.ids_encode.restype = i64
-    lib.ids_encode.argtypes = [p8, pi64, pi64, pi64, pi64, i64, i64,
+    lib.ids_encode.argtypes = [p8, pi64, pi64, pi64, pi64, i64, i64, i64,
                                p8, p8, i64, pi64, p8, i64, pi64]
     lib.ids_decode.restype = i64
-    lib.ids_decode.argtypes = [i64, i64, p8, pp8, pi64, pp8, pi64,
+    lib.ids_decode.argtypes = [i64, i64, i64, p8, pp8, pi64, pp8, pi64,
                                p8, i64, pi64, pi64, p8, i64, pi64, pi64,
                                pi64]
     lib.fastq_assemble.restype = i64
@@ -155,28 +155,31 @@ def fastq_index(data):
     return {k: v[:n] for k, v in outs.items()}, int(n)
 
 
-def lens_encode(lengths: np.ndarray, wa: int):
+def lens_encode(lengths: np.ndarray, wa: int, prev_step: int = 1):
     n = len(lengths)
     out = np.zeros(10 * max(n, 1), dtype=np.uint8)
     rec_nbytes = np.zeros(max(n, 1), dtype=np.int32)
     total = lib.lens_encode(_pi64(np.ascontiguousarray(lengths)), n, wa,
-                            _p8(out), len(out), _pi32(rec_nbytes))
+                            prev_step, _p8(out), len(out),
+                            _pi32(rec_nbytes))
     if total < 0:
         raise RuntimeError("lens_encode overflow")
     return out[:total], rec_nbytes[:n]
 
 
-def lens_decode(lane_bufs: list[np.ndarray], n: int, wa: int) -> np.ndarray:
+def lens_decode(lane_bufs: list[np.ndarray], n: int, wa: int,
+                prev_step: int = 1) -> np.ndarray:
     lengths = np.zeros(max(n, 1), dtype=np.int64)
     ptrs, keep = _bufptrs(lane_bufs)
     sizes = np.array([len(b) for b in lane_bufs], dtype=np.int64)
-    r = lib.lens_decode(ptrs, _pi64(sizes), n, wa, _pi64(lengths))
+    r = lib.lens_decode(ptrs, _pi64(sizes), n, wa, prev_step,
+                        _pi64(lengths))
     if r < 0:
         raise ValueError("corrupt LEN stream")
     return lengths[:n]
 
 
-def ids_encode(data, idx: dict, n: int, wa: int):
+def ids_encode(data, idx: dict, n: int, wa: int, prev_step: int = 1):
     buf = _as_u8(data)
     flags = np.zeros(3 * max(n, 1), dtype=np.uint8)
     total_id = int(idx["id_len"].sum()) if n else 0
@@ -197,7 +200,7 @@ def ids_encode(data, idx: dict, n: int, wa: int):
         r = lib.ids_encode(_p8(buf), _pi64(idx["id_off"]),
                            _pi64(idx["id_len"]),
                            _pi64(idx["plus_off"]), _pi64(idx["plus_len"]),
-                           n, wa, _p8(flags),
+                           n, wa, prev_step, _p8(flags),
                            _p8(delta), dstride, _pi64(dsizes),
                            _p8(exc), xstride, _pi64(xsizes))
         if r >= 0:
@@ -214,26 +217,36 @@ def ids_encode(data, idx: dict, n: int, wa: int):
 
 
 def ids_decode(n: int, wa: int, flags: np.ndarray,
-               delta_bufs: list[np.ndarray], exc_bufs: list[np.ndarray]):
+               delta_bufs: list[np.ndarray], exc_bufs: list[np.ndarray],
+               prev_step: int = 1):
     total_exc = sum(len(b) for b in exc_bufs)
-    arena_cap = total_exc + 64 * n + 1024
-    plus_cap = total_exc + (64 + 2) * n + 1024
-    id_arena = np.zeros(arena_cap, dtype=np.uint8)
-    plus_arena = np.zeros(plus_cap, dtype=np.uint8)
-    out_off = np.zeros(max(n, 1), dtype=np.int64)
-    out_len = np.zeros(max(n, 1), dtype=np.int64)
-    p_off = np.zeros(max(n, 1), dtype=np.int64)
-    p_len = np.zeros(max(n, 1), dtype=np.int64)
-    plus_used = np.zeros(1, dtype=np.int64)
     dptrs, k1 = _bufptrs(delta_bufs)
     xptrs, k2 = _bufptrs(exc_bufs)
     dsz = np.array([len(b) for b in delta_bufs], dtype=np.int64)
     xsz = np.array([len(b) for b in exc_bufs], dtype=np.int64)
-    r = lib.ids_decode(n, wa, _p8(np.ascontiguousarray(flags)),
-                       dptrs, _pi64(dsz), xptrs, _pi64(xsz),
-                       _p8(id_arena), arena_cap, _pi64(out_off),
-                       _pi64(out_len), _p8(plus_arena), plus_cap,
-                       _pi64(p_off), _pi64(p_len), _pi64(plus_used))
+    # -2 = arena overflow (legitimate input with long delta-coded IDs can
+    # exceed the 64 B/record heuristic): retry with a bigger arena
+    for scale in (1, 8, 64):
+        arena_cap = total_exc + scale * 64 * n + (1024 + wa * 64) * scale
+        plus_cap = total_exc + scale * (64 + 2) * n + (1024 + wa * 64) \
+            * scale
+        # np.empty: only [off, off+len) ranges are ever read back, and
+        # zeroing ~9 MB of arena measured ~2-3 ms/block
+        id_arena = np.empty(arena_cap, dtype=np.uint8)
+        plus_arena = np.empty(plus_cap, dtype=np.uint8)
+        out_off = np.zeros(max(n, 1), dtype=np.int64)
+        out_len = np.zeros(max(n, 1), dtype=np.int64)
+        p_off = np.zeros(max(n, 1), dtype=np.int64)
+        p_len = np.zeros(max(n, 1), dtype=np.int64)
+        plus_used = np.zeros(1, dtype=np.int64)
+        r = lib.ids_decode(n, wa, prev_step,
+                           _p8(np.ascontiguousarray(flags)),
+                           dptrs, _pi64(dsz), xptrs, _pi64(xsz),
+                           _p8(id_arena), arena_cap, _pi64(out_off),
+                           _pi64(out_len), _p8(plus_arena), plus_cap,
+                           _pi64(p_off), _pi64(p_len), _pi64(plus_used))
+        if r != -2:
+            break
     if r < 0:
         raise ValueError("corrupt ID streams")
     return (id_arena, out_off[:n], out_len[:n],

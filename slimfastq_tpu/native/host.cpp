@@ -135,21 +135,29 @@ static inline bool get_varint(const uint8_t* buf, int64_t n, int64_t& pos,
 }
 
 // ---------------------------------------------------------------------------
-// LEN stream: svarint(length - prev_length), globally previous record
-// r-1 (frozen format rule; matches pipeline.py).
+// LEN stream: svarint(length - prev_length). The baseline record is
+// r - prev_step (frozen per container format version; matches
+// pipeline.py): prev_step=1 for v1/v2, prev_step=wa for v3.
 // out buffers sized by caller (max 10 bytes/record). Returns per-lane and
 // per-record byte boundaries via rec_nbytes.
 // ---------------------------------------------------------------------------
 int64_t lens_encode(const int64_t* lengths, int64_t n, int64_t wa,
+                    int64_t prev_step,
                     uint8_t* out, int64_t out_cap, int32_t* rec_nbytes) {
-    (void)wa;  // previous is global r-1 (host modeling is serial)
-    int64_t prev = 0;
+    (void)wa;
+    // prev_step: delta baseline distance. 1 = globally previous record
+    // (format v1/v2); wa = aux-lane-local previous (format v3 — makes
+    // decode chains per-lane and therefore lane-parallel). v3 prologue:
+    // the first prev_step records delta against r-1 (global), so a small
+    // file does not pay prev_step absolute heads — decode runs the same
+    // short serial prologue before going lane-parallel.
     std::vector<uint8_t> buf;
     buf.reserve(n * 2);
     for (int64_t r = 0; r < n; r++) {
         size_t before = buf.size();
+        int64_t prev = (r >= prev_step) ? lengths[r - prev_step]
+            : (r >= 1 ? lengths[r - 1] : 0);
         put_varint(buf, zigzag(lengths[r] - prev));
-        prev = lengths[r];
         rec_nbytes[r] = int32_t(buf.size() - before);
     }
     if ((int64_t)buf.size() > out_cap) return -1;
@@ -159,7 +167,36 @@ int64_t lens_encode(const int64_t* lengths, int64_t n, int64_t wa,
 
 int64_t lens_decode(const uint8_t* const* lane_bufs,
                     const int64_t* lane_sizes, int64_t n, int64_t wa,
-                    int64_t* lengths) {
+                    int64_t prev_step, int64_t* lengths) {
+    if (prev_step > 1) {
+        // format v3: serial prologue over the first wa records (each
+        // deltas against r-1), then per-lane chains in parallel
+        std::vector<int64_t> pos(wa, 0);
+        int64_t head = n < wa ? n : wa;
+        int64_t prev = 0;
+        for (int64_t r = 0; r < head; r++) {
+            uint64_t u;
+            if (!get_varint(lane_bufs[r], lane_sizes[r], pos[r], u))
+                return -1;
+            prev += unzigzag(u);
+            lengths[r] = prev;
+        }
+        int64_t bad = 0;
+#pragma omp parallel for schedule(static) reduction(|:bad)
+        for (int64_t w = 0; w < head; w++) {
+            int64_t p = pos[w], pv = lengths[w];
+            for (int64_t r = w + wa; r < n; r += wa) {
+                uint64_t u;
+                if (!get_varint(lane_bufs[w], lane_sizes[w], p, u)) {
+                    bad = 1;
+                    break;
+                }
+                pv += unzigzag(u);
+                lengths[r] = pv;
+            }
+        }
+        return bad ? -1 : 0;
+    }
     int64_t prev = 0;
     std::vector<int64_t> pos(wa, 0);
     for (int64_t r = 0; r < n; r++) {
@@ -227,33 +264,50 @@ static int64_t render(const uint8_t* prev_tok, int64_t prev_len,
     return len;
 }
 
-// Worker for ids_encode: process records [lo, hi) into the given
-// per-lane buffers. Stateless across the range boundary — the delta
-// baseline is the raw BYTES of record r-1 (tokenized on the fly at the
-// range head, cached inside the range), so disjoint ranges produce
-// exactly the bytes the single-range pass would.
+// Worker for ids_encode: process records lo, lo+stride, ... (< hi) into
+// the given per-lane buffers. The delta baseline is the raw BYTES of
+// record r-stride (tokenized on the fly at the range head, cached along
+// the chain), so disjoint ranges produce exactly the bytes the
+// single-range pass would. stride=1: format v1/v2 global-previous,
+// split into contiguous record ranges; stride=wa: format v3
+// aux-lane-local previous, one call per lane (lo = lane id). Two v3
+// refinements (frozen format rules): (a) the stored numeric delta for
+// records r >= stride is biased by -stride — a counter that increments
+// by 1 per record advances by exactly `stride` along a lane chain, so
+// the common case stores zigzag(0); (b) prologue: records r < stride
+// delta against the globally previous record r-1 (bias 0), so a small
+// file does not pay `stride` absolute head IDs — decode mirrors with a
+// short serial prologue before going lane-parallel.
 static void ids_encode_range(const uint8_t* data,
                              const int64_t* id_off, const int64_t* id_len,
                              const int64_t* plus_off,
                              const int64_t* plus_len,
-                             int64_t lo, int64_t hi, int64_t wa,
+                             int64_t lo, int64_t hi, int64_t stride,
+                             int64_t wa,
                              uint8_t* flags_out,
                              std::vector<std::vector<uint8_t>>& dbuf,
                              std::vector<std::vector<uint8_t>>& xbuf) {
+    if (lo >= hi) return;  // empty lane (fewer records than lanes)
     std::vector<Tok> pt, ct;
     std::vector<uint8_t> tmp;  // hoisted: per-record alloc churn was ~2x
-    if (lo >= 1)
-        tokenize(data + id_off[lo - 1], id_len[lo - 1], pt);
-    for (int64_t r = lo; r < hi; r++) {
+    {
+        int64_t p0 = (lo >= stride) ? lo - stride : lo - 1;
+        if (p0 >= 0)
+            tokenize(data + id_off[p0], id_len[p0], pt);
+    }
+    for (int64_t r = lo; r < hi; r += stride) {
         int64_t w = r % wa;
+        const int64_t dbias = (stride > 1 && r >= stride) ? stride : 0;
+        const int64_t pidx = (r >= stride) ? r - stride : r - 1;
         const uint8_t* cur = data + id_off[r];
         int64_t cn = id_len[r];
         bool ok = false;
         // token cache: this record's tokens become `pt` next iteration
-        // (the previous record is always r-1), halving tokenize work
+        // (the previous record is always r-stride along this chain),
+        // halving tokenize work
         tokenize(cur, cn, ct);
-        if (r >= 1) {
-            const uint8_t* prev = data + id_off[r - 1];
+        if (pidx >= 0) {
+            const uint8_t* prev = data + id_off[pidx];
             tmp.clear();
             if (pt.size() == ct.size()) {
                 ok = true;
@@ -286,7 +340,7 @@ static void ids_encode_range(const uint8_t* data,
                         ok = false;
                         break;
                     }
-                    put_varint(tmp, zigzag(cv - pv));
+                    put_varint(tmp, zigzag(cv - pv - dbias));
                 }
             }
         }
@@ -318,25 +372,48 @@ static void ids_encode_range(const uint8_t* data,
     }
 }
 
-// Encode n record IDs + plus lines (previous = globally previous record
-// r-1, the frozen format rule; only the emitted streams are lane-interleaved).
-// flags_out: 3 bytes/record in lane-stream order [id_exc, plus_plain,
-// plus_idcopy] — identical to pipeline.py. Plus-line exceptions interleave
-// with ID exceptions per record in the per-lane exception stream, exactly
-// as the Python path writes them. OpenMP: contiguous record ranges run in
-// parallel (the range worker is stateless across its head boundary);
-// per-lane streams are the range buffers concatenated in range order,
-// which is increasing-r order within every lane — byte-identical to the
+// Encode n record IDs + plus lines. prev_step selects the delta baseline
+// (frozen per container format version): 1 = globally previous record
+// r-1 (v1/v2); wa = aux-lane-local previous r-wa (v3 — decode chains
+// become per-lane, hence lane-parallel). flags_out: 3 bytes/record in
+// lane-stream order [id_exc, plus_plain, plus_idcopy] — identical to
+// pipeline.py. Plus-line exceptions interleave with ID exceptions per
+// record in the per-lane exception stream, exactly as the Python path
+// writes them. OpenMP: v1/v2 split into contiguous record ranges (the
+// range worker is stateless across its head boundary); v3 runs one task
+// per lane. Either way the per-lane streams are byte-identical to a
 // serial pass.
 int64_t ids_encode(const uint8_t* data,
                    const int64_t* id_off, const int64_t* id_len,
                    const int64_t* plus_off, const int64_t* plus_len,
-                   int64_t n, int64_t wa,
+                   int64_t n, int64_t wa, int64_t prev_step,
                    uint8_t* flags_out,
                    uint8_t* delta_arena, int64_t delta_stride,
                    int64_t* delta_sizes,
                    uint8_t* exc_arena, int64_t exc_stride,
                    int64_t* exc_sizes) {
+    if (prev_step > 1) {
+        // format v3: one independent chain (and one task) per lane
+        int64_t overflow = 0;
+#pragma omp parallel for schedule(dynamic, 1) reduction(|:overflow)
+        for (int64_t w = 0; w < wa; w++) {
+            std::vector<std::vector<uint8_t>> db(wa), xb(wa);
+            ids_encode_range(data, id_off, id_len, plus_off, plus_len,
+                             w, n, wa, wa, flags_out, db, xb);
+            int64_t ds = (int64_t)db[w].size();
+            int64_t xs = (int64_t)xb[w].size();
+            if (ds > delta_stride || xs > exc_stride) {
+                overflow = 1;
+                continue;
+            }
+            memcpy(delta_arena + w * delta_stride, db[w].data(),
+                   (size_t)ds);
+            memcpy(exc_arena + w * exc_stride, xb[w].data(), (size_t)xs);
+            delta_sizes[w] = ds;
+            exc_sizes[w] = xs;
+        }
+        return overflow ? -1 : 0;
+    }
     int nt = 1;
 #ifdef _OPENMP
     nt = omp_get_max_threads();
@@ -351,7 +428,7 @@ int64_t ids_encode(const uint8_t* data,
         int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
         if (lo < hi)
             ids_encode_range(data, id_off, id_len, plus_off, plus_len,
-                             lo, hi, wa, flags_out, dbufs[t], xbufs[t]);
+                             lo, hi, 1, wa, flags_out, dbufs[t], xbufs[t]);
     }
     for (int64_t w = 0; w < wa; w++) {
         int64_t doff = 0, xoff = 0;
@@ -373,10 +450,115 @@ int64_t ids_encode(const uint8_t* data,
     return 0;
 }
 
+// Per-lane decode state for the format-v3 two-phase decode: the serial
+// prologue (records r < wa, global r-1 baselines) leaves each lane's
+// stream positions / arena usage / last-decoded-ID here, and the
+// parallel phase resumes from it.
+struct LaneSt {
+    const uint8_t* prev;  // last decoded ID bytes (baseline), or null
+    int64_t prev_len;
+    int64_t dpos, xpos;   // delta / exception stream positions
+    int64_t used, pused;  // bytes used in the lane's id / plus regions
+};
+
+// Decode up to max_recs records r = r_start, r_start+wa, ... of one
+// lane's streams (format v3). Baseline = st.prev (caller-provided for
+// the lane's first record; record r-wa afterwards); numeric deltas are
+// biased by +wa for records r >= wa (see ids_encode_range). Writes IDs
+// into a private arena region (global offsets = base + local). Returns
+// 0, -1 on corrupt streams, -2 on arena overflow (retryable).
+static int64_t ids_decode_lane(
+        int64_t r_start, int64_t n, int64_t wa, int64_t max_recs,
+        const uint8_t* flags,
+        const uint8_t* dbuf, int64_t dsz,
+        const uint8_t* xbuf, int64_t xsz,
+        uint8_t* arena, int64_t cap, int64_t base,
+        int64_t* out_off, int64_t* out_len,
+        uint8_t* parena, int64_t pcap, int64_t pbase,
+        int64_t* plus_off, int64_t* plus_len, LaneSt& st) {
+    std::vector<Tok> pt;
+    int64_t done = 0;
+    for (int64_t r = r_start; r < n && done < max_recs; r += wa, done++) {
+        const int64_t dbias = (r >= wa) ? wa : 0;
+        if (flags[3 * r] == 0) {
+            if (!st.prev) return -1;
+            tokenize(st.prev, st.prev_len, pt);
+            out_off[r] = base + st.used;
+            int64_t len = 0;
+            for (auto& t : pt) {
+                if (st.used + len + t.len + 32 > cap) return -2;
+                if (!t.digit) {
+                    memcpy(arena + st.used + len, st.prev + t.off, t.len);
+                    len += t.len;
+                    continue;
+                }
+                uint64_t u;
+                if (!get_varint(dbuf, dsz, st.dpos, u)) return -1;
+                int64_t d = unzigzag(u) + dbias;
+                int64_t pv;
+                if (!digit_value(st.prev + t.off, t.len, pv)) {
+                    memcpy(arena + st.used + len, st.prev + t.off, t.len);
+                    len += t.len;
+                    continue;
+                }
+                int64_t rl = render(st.prev + t.off, t.len, pv + d,
+                                    arena + st.used + len, 32);
+                if (rl < 0) return -1;
+                len += rl;
+            }
+            out_len[r] = len;
+            st.used += len;
+        } else {
+            uint64_t ln;
+            if (!get_varint(xbuf, xsz, st.xpos, ln)) return -1;
+            if (st.xpos + (int64_t)ln > xsz) return -1;
+            if (st.used + (int64_t)ln > cap) return -2;
+            memcpy(arena + st.used, xbuf + st.xpos, ln);
+            st.xpos += ln;
+            out_off[r] = base + st.used;
+            out_len[r] = ln;
+            st.used += ln;
+        }
+        // plus line
+        if (flags[3 * r + 1] == 1) {
+            if (st.pused + 1 > pcap) return -2;
+            parena[st.pused] = '+';
+            plus_off[r] = pbase + st.pused;
+            plus_len[r] = 1;
+            st.pused += 1;
+        } else if (flags[3 * r + 2] == 1) {
+            int64_t ln = out_len[r] + 1;
+            if (st.pused + ln > pcap) return -2;
+            parena[st.pused] = '+';
+            memcpy(parena + st.pused + 1, arena + (out_off[r] - base),
+                   out_len[r]);
+            plus_off[r] = pbase + st.pused;
+            plus_len[r] = ln;
+            st.pused += ln;
+        } else {
+            uint64_t ln;
+            if (!get_varint(xbuf, xsz, st.xpos, ln)) return -1;
+            if (st.xpos + (int64_t)ln > xsz) return -1;
+            if (st.pused + (int64_t)ln > pcap) return -2;
+            memcpy(parena + st.pused, xbuf + st.xpos, ln);
+            st.xpos += ln;
+            plus_off[r] = pbase + st.pused;
+            plus_len[r] = ln;
+            st.pused += ln;
+        }
+        st.prev = arena + (out_off[r] - base);
+        st.prev_len = out_len[r];
+    }
+    return 0;
+}
+
 // Decode n record IDs + plus lines. flags: 3 bytes/record (as encoded).
-// IDs land in id_arena (offsets/lengths out); plus lines in plus_arena.
-// Returns bytes used in id_arena, or -1; plus_used receives plus bytes.
-int64_t ids_decode(int64_t n, int64_t wa,
+// prev_step as in ids_encode (1 = global r-1, wa = lane-local r-wa; the
+// lane-local format decodes all lanes in parallel). IDs land in id_arena
+// (offsets/lengths out); plus lines in plus_arena. Returns bytes used in
+// id_arena, -1 on corrupt streams, -2 on arena overflow (retryable with
+// a bigger arena).
+int64_t ids_decode(int64_t n, int64_t wa, int64_t prev_step,
                    const uint8_t* flags,
                    const uint8_t* const* delta_bufs,
                    const int64_t* delta_sizes,
@@ -387,6 +569,63 @@ int64_t ids_decode(int64_t n, int64_t wa,
                    uint8_t* plus_arena, int64_t plus_cap,
                    int64_t* plus_off, int64_t* plus_len,
                    int64_t* plus_used_out) {
+    if (prev_step > 1) {
+        // format v3: partition both arenas into per-lane regions sized
+        // proportionally to the caller's caps, then decode lanes in
+        // parallel (each lane's chain is independent)
+        std::vector<int64_t> cap(wa), base(wa + 1, 0);
+        std::vector<int64_t> pcap(wa), pbase(wa + 1, 0);
+        int64_t slack = arena_cap, pslack = plus_cap;
+        for (int64_t w = 0; w < wa; w++) {
+            slack -= exc_sizes[w];
+            pslack -= exc_sizes[w];
+        }
+        slack = slack > 0 ? slack / wa : 0;
+        pslack = pslack > 0 ? pslack / wa : 0;
+        for (int64_t w = 0; w < wa; w++) {
+            cap[w] = exc_sizes[w] + slack;
+            pcap[w] = exc_sizes[w] + pslack;
+            base[w + 1] = base[w] + cap[w];
+            pbase[w + 1] = pbase[w] + pcap[w];
+        }
+        if (base[wa] > arena_cap || pbase[wa] > plus_cap) return -2;
+        // phase 1 (serial prologue): records 0..min(wa,n)-1 delta
+        // against the globally previous record r-1 (bias 0)
+        int64_t head = n < wa ? n : wa;
+        std::vector<LaneSt> st(wa);
+        for (int64_t w = 0; w < wa; w++)
+            st[w] = LaneSt{nullptr, 0, 0, 0, 0, 0};
+        const uint8_t* gprev = nullptr;
+        int64_t gprev_len = 0;
+        for (int64_t w = 0; w < head; w++) {
+            st[w].prev = gprev;
+            st[w].prev_len = gprev_len;
+            int64_t rc = ids_decode_lane(
+                w, n, wa, 1, flags, delta_bufs[w], delta_sizes[w],
+                exc_bufs[w], exc_sizes[w],
+                id_arena + base[w], cap[w], base[w], out_off, out_len,
+                plus_arena + pbase[w], pcap[w], pbase[w],
+                plus_off, plus_len, st[w]);
+            if (rc < 0) return rc;
+            gprev = id_arena + out_off[w];
+            gprev_len = out_len[w];
+        }
+        // phase 2: every lane's remaining chain is independent
+        int64_t bad = 0;
+#pragma omp parallel for schedule(dynamic, 1) reduction(min:bad)
+        for (int64_t w = 0; w < head; w++) {
+            int64_t rc = ids_decode_lane(
+                w + wa, n, wa, n, flags, delta_bufs[w], delta_sizes[w],
+                exc_bufs[w], exc_sizes[w],
+                id_arena + base[w], cap[w], base[w], out_off, out_len,
+                plus_arena + pbase[w], pcap[w], pbase[w],
+                plus_off, plus_len, st[w]);
+            if (rc < 0 && rc < bad) bad = rc;
+        }
+        if (bad < 0) return bad;
+        *plus_used_out = pbase[wa];
+        return base[wa];
+    }
     std::vector<Tok> pt;
     std::vector<int64_t> dpos(wa, 0), xpos(wa, 0);
     int64_t used = 0, pused = 0;
@@ -400,7 +639,7 @@ int64_t ids_decode(int64_t n, int64_t wa,
             out_off[r] = used;
             int64_t len = 0;
             for (auto& t : pt) {
-                if (used + len + t.len + 32 > arena_cap) return -1;
+                if (used + len + t.len + 32 > arena_cap) return -2;
                 if (!t.digit) {
                     memcpy(id_arena + used + len, prev + t.off, t.len);
                     len += t.len;
@@ -428,7 +667,7 @@ int64_t ids_decode(int64_t n, int64_t wa,
             if (!get_varint(exc_bufs[w], exc_sizes[w], xpos[w], ln))
                 return -1;
             if (xpos[w] + (int64_t)ln > exc_sizes[w]) return -1;
-            if (used + (int64_t)ln > arena_cap) return -1;
+            if (used + (int64_t)ln > arena_cap) return -2;
             memcpy(id_arena + used, exc_bufs[w] + xpos[w], ln);
             xpos[w] += ln;
             out_off[r] = used;
@@ -437,14 +676,14 @@ int64_t ids_decode(int64_t n, int64_t wa,
         }
         // plus line
         if (flags[3 * r + 1] == 1) {
-            if (pused + 1 > plus_cap) return -1;
+            if (pused + 1 > plus_cap) return -2;
             plus_arena[pused] = '+';
             plus_off[r] = pused;
             plus_len[r] = 1;
             pused += 1;
         } else if (flags[3 * r + 2] == 1) {
             int64_t ln = out_len[r] + 1;
-            if (pused + ln > plus_cap) return -1;
+            if (pused + ln > plus_cap) return -2;
             plus_arena[pused] = '+';
             memcpy(plus_arena + pused + 1, id_arena + out_off[r],
                    out_len[r]);
@@ -456,7 +695,7 @@ int64_t ids_decode(int64_t n, int64_t wa,
             if (!get_varint(exc_bufs[w], exc_sizes[w], xpos[w], ln))
                 return -1;
             if (xpos[w] + (int64_t)ln > exc_sizes[w]) return -1;
-            if (pused + (int64_t)ln > plus_cap) return -1;
+            if (pused + (int64_t)ln > plus_cap) return -2;
             memcpy(plus_arena + pused, exc_bufs[w] + xpos[w], ln);
             xpos[w] += ln;
             plus_off[r] = pused;

@@ -567,32 +567,31 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
     raise AssertionError("encode chunk overflow even with hard buffers")
 
 
-# set SFQ_DEVICE_COMPACT=1 to concatenate emission chunks on device
-# (ops/compact_pallas.py) so only ~the compressed payload crosses PCIe,
-# instead of shipping dense chunk buffers to the host compactor
-_DEVICE_COMPACT = bool(int(os.environ.get("SFQ_DEVICE_COMPACT", "0")))
+# Device compaction (ops/compact_pallas.py): concatenate emission chunks
+# on device so only ~the compressed payload crosses PCIe, instead of
+# shipping dense chunk buffers to the host compactor. Default ON for the
+# TPU backend (SFQ_DEVICE_COMPACT=0 opts out); off-TPU the Pallas kernel
+# would run in interpret mode, so the host compactor is used there (the
+# two are byte-identical — tested and asserted by every bench run).
+_DEVICE_COMPACT = bool(int(os.environ.get("SFQ_DEVICE_COMPACT", "1")))
 
 
-def _compact_device_path(ebufs, eptrs, low, counts, CB):
-    """On-device compaction + host flush-byte append. Byte-identical to
-    _compact_host (tested)."""
-    from . import compact_pallas
-    eptrs_np = np.asarray(eptrs)
-    totals_np = eptrs_np.sum(axis=0)
-    Bmax = int(totals_np.max()) if totals_np.size else 0
-    # quantise the (data-dependent) payload bound to 4 KB buckets so the
-    # kernel compiles once per bucket, not once per block
-    Bmax = ((Bmax + R.FLUSH_BYTES + 4095) // 4096) * 4096 + 128
-    pay_i32, _ = compact_pallas.compact_device_v2(ebufs, eptrs, Bmax)
-    pay = np.asarray(pay_i32.astype(jnp.uint8))
+def _use_device_compact(W: int) -> bool:
+    return (_DEVICE_COMPACT and W % 8 == 0
+            and jax.default_backend() == "tpu")
+
+
+def _flush_append(pay: np.ndarray, totals_np: np.ndarray, low, counts):
+    """Compacted per-lane payload [W, >=max total] + per-lane byte totals
+    -> final (payload [W, maxlen], lens) with the FLUSH_BYTES coder-tail
+    bytes appended. Vectorised (a per-lane Python loop here cost
+    ~2 ms at W=1024)."""
     counts = np.asarray(counts)
     W = len(counts)
     act = counts > 0
     lens = np.where(act, totals_np + R.FLUSH_BYTES, 0).astype(np.int64)
     maxlen = int(lens.max()) if lens.size else 0
     payload = np.zeros((W, maxlen), dtype=np.uint8)
-    # vectorised ragged copy + flush append (a per-lane Python loop here
-    # cost ~2 ms at W=1024)
     span = min(maxlen, pay.shape[1])
     cols = np.arange(span)[None, :]
     mask = act[:, None] & (cols < totals_np[:, None])
@@ -606,6 +605,21 @@ def _compact_device_path(ebufs, eptrs, low, counts, CB):
         payload[np.repeat(rows, R.FLUSH_BYTES), fcols.ravel()] = \
             fvals.ravel().astype(np.uint8)
     return payload, lens
+
+
+def _compact_device_path(ebufs, eptrs, low, counts, CB):
+    """On-device compaction + host flush-byte append. Byte-identical to
+    _compact_host (tested). The only device->host readbacks are the [W]
+    per-lane totals (4 KB at W=1024) and the compacted payload itself."""
+    from . import compact_pallas
+    totals_np = np.asarray(jnp.sum(eptrs, axis=0)).astype(np.int64)
+    Bmax = int(totals_np.max()) if totals_np.size else 0
+    # quantise the (data-dependent) payload bound to 4 KB buckets so the
+    # kernel compiles once per bucket, not once per block
+    Bmax = ((Bmax + R.FLUSH_BYTES + 4095) // 4096) * 4096 + 128
+    pay_i32, _ = compact_pallas.compact_device_v2(ebufs, eptrs, Bmax)
+    pay = np.asarray(pay_i32.astype(jnp.uint8))
+    return _flush_append(pay, totals_np, np.asarray(low), counts)
 
 
 def encode_stream_ll(kind: str, geom, syms: np.ndarray,
@@ -633,7 +647,7 @@ def encode_stream_ll(kind: str, geom, syms: np.ndarray,
             ebufs, eptrs, low, emax = run(idx_c, bit_c)
         CB = _chunk_bytes(geom.depth, hard)
         if int(emax) <= CB:
-            if _DEVICE_COMPACT and W % 8 == 0:
+            if _use_device_compact(W):
                 return _compact_device_path(ebufs, eptrs, low, counts, CB)
             return _compact_host(np.asarray(ebufs), np.asarray(eptrs),
                                  np.asarray(low), counts, CB)
@@ -751,7 +765,7 @@ def encode_seq_qual_raw(seq_geom, qual_geom, data: np.ndarray,
                 ebufs, eptrs, low, emax = run(idx_c, bit_c)
             CB = _chunk_bytes(geom.depth, hard)
             if int(emax) <= CB:
-                if _DEVICE_COMPACT and W % 8 == 0:
+                if _use_device_compact(W):
                     out[name] = _compact_device_path(ebufs, eptrs, low,
                                                      counts, CB)
                 else:

@@ -6,13 +6,16 @@ TPU-native replacement for slimfastq's single serial stream (SURVEY.md §2
 and the multi-host ordered gather possible).
 
 Record -> lane mapping is round-robin (record r -> lane r % W, slot r // W),
-so lanes stay balanced. Per-record "previous" references for ID/length delta
-modeling are the globally previous record r-1 (that modeling runs serially
-on the host either way; only the resulting symbol streams are
-lane-parallel).
+so lanes stay balanced. Per-record "previous" references for ID/length
+delta modeling depend on the container format version (frozen rule):
+format v3 deltas against the aux-lane-local previous record r-Wa (every
+decode chain is lane-independent, so the host ID/LEN decode parallelises
+over lanes; numeric ID deltas additionally store -Wa biased values so a
+per-record counter costs zigzag(0)); v1/v2 delta against the globally
+previous record r-1 (a single serial decode chain).
 
 Stream inventory per block (fixed order):
-  LEN   byte  — svarint(read_len - prev_len), global prev (init 0)
+  LEN   byte  — svarint(read_len - prev_len), prev per the fmt rule above
   FLAG  flag  — 3 bits/record: [id_exception, plus_plain, plus_is_idcopy]
   IDD   byte  — svarint digit-token deltas for flag=0 IDs
   IDX   byte  — varint-length-prefixed exception IDs and plus lines
@@ -184,24 +187,30 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
     lengths = np.array([len(s) for s in batch.seqs], dtype=np.int64)
 
     # --- host-side per-record modeling ------------------------------------
-    # "previous record" for delta modeling is r-1 in file order: the
-    # modeling runs serially on the host; only the coded symbol streams
-    # are lane-parallel, so global deltas cost nothing and compress better
+    # Delta baseline (frozen per container format version): format v3
+    # uses the aux-lane-local previous record r-Wa, which makes every
+    # decode chain lane-independent (the host ID/LEN decode parallelises
+    # over the Wa lanes); v1/v2 used the globally previous record r-1
+    # (slightly tighter deltas, but a single serial decode chain).
+    step = Wa if cfg.fmt >= 3 else 1
     len_rec: list[bytearray] = []
     flag_rec: list[bytes] = []
     idd_lane = [bytearray() for _ in range(Wa)]
     idx_lane = [bytearray() for _ in range(Wa)]
-    prev_len = 0
     for r in range(n):
         w = r % Wa
         b = bytearray()
+        # v3 prologue: records r < step delta against r-1 (global), so a
+        # small file does not pay `step` absolute heads
+        pidx = r - step if r >= step else r - 1
+        prev_len = int(lengths[pidx]) if pidx >= 0 else 0
         put_svarint(b, int(lengths[r]) - prev_len)
-        prev_len = int(lengths[r])
         len_rec.append(b)
 
-        prev_id = batch.ids[r - 1] if r >= 1 else None
-        f_id = readid.encode_record_id(prev_id, batch.ids[r],
-                                       idd_lane[w], idx_lane[w])
+        prev_id = batch.ids[pidx] if pidx >= 0 else None
+        f_id = readid.encode_record_id(
+            prev_id, batch.ids[r], idd_lane[w], idx_lane[w],
+            delta_bias=step if (step > 1 and r >= step) else 0)
         plus = batch.pluses[r]
         if plus == b"+":
             f_pp, f_pc = 1, 0
@@ -313,14 +322,14 @@ def decode_block_lengths(blk: EncodedBlock, cfg: CodecConfig,
     lanes = _from_lane_streams(syms, np.asarray(es.sym_counts))
     n = blk.num_records
     Wa = cfg.aux_lanes
+    step = Wa if cfg.fmt >= 3 else 1
     lengths = np.zeros(n, dtype=np.int64)
-    prev_len = 0
     lane_pos = [0] * Wa
     for r in range(n):
         w = r % Wa
         d, lane_pos[w] = get_svarint(lanes[w], lane_pos[w])
-        lengths[r] = prev_len + d
-        prev_len = int(lengths[r])
+        pidx = r - step if r >= step else r - 1
+        lengths[r] = (int(lengths[pidx]) if pidx >= 0 else 0) + d
     return lengths
 
 
@@ -368,6 +377,7 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
     idx_lanes = _from_lane_streams(idx_syms, blk.streams["IDX"].sym_counts)
     ids: list[bytes] = []
     pluses: list[bytes] = []
+    step = Wa if cfg.fmt >= 3 else 1
     dpos = [0] * Wa
     xpos = [0] * Wa
     fpos = [0] * Wa
@@ -377,9 +387,11 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
         f_pp = int(flag_lanes[w][fpos[w] + 1])
         f_pc = int(flag_lanes[w][fpos[w] + 2])
         fpos[w] += 3
-        prev_id = ids[r - 1] if r >= 1 else None
+        pidx = r - step if r >= step else r - 1
+        prev_id = ids[pidx] if pidx >= 0 else None
         rid, dpos[w], xpos[w] = readid.decode_record_id(
-            prev_id, f_id, idd_lanes[w], dpos[w], idx_lanes[w], xpos[w])
+            prev_id, f_id, idd_lanes[w], dpos[w], idx_lanes[w], xpos[w],
+            delta_bias=step if (step > 1 and r >= step) else 0)
         ids.append(rid)
         if f_pp:
             pluses.append(b"+")

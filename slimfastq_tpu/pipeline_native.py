@@ -108,9 +108,10 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     lengths = idx["seq_len"][sl].astype(np.int64)
 
     jobs: dict[str, tuple] = {}
+    prev_step = Wa if cfg.fmt >= 3 else 1  # delta baseline (frozen/fmt)
 
     # --- LEN ---------------------------------------------------------------
-    flat, rec_nbytes = native.lens_encode(lengths, Wa)
+    flat, rec_nbytes = native.lens_encode(lengths, Wa, prev_step)
     nb64 = rec_nbytes.astype(np.int64)
     boffs = np.zeros(n, dtype=np.int64)
     boffs[1:] = np.cumsum(nb64[:-1])
@@ -126,7 +127,7 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
             "id_len": np.ascontiguousarray(id_len),
             "plus_off": np.ascontiguousarray(plus_off),
             "plus_len": np.ascontiguousarray(plus_len)}
-    flags, dl, xl = native.ids_encode(data, bidx, n, Wa)
+    flags, dl, xl = native.ids_encode(data, bidx, n, Wa, prev_step)
     # FLAG stream: 3 symbols per record, lane-grouped
     f3 = flags.reshape(n, 3).astype(np.int64)
     forder = _group_order(n, Wa)
@@ -255,9 +256,11 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
                     for w in range(len(c))]
         return [np.zeros(0, dtype=np.uint8) for _ in range(len(c))]
 
+    prev_step = Wa if cfg.fmt >= 3 else 1  # delta baseline (frozen/fmt)
+
     # 1. lengths
     len_lanes = dec_lanes("LEN")
-    lengths = native.lens_decode(len_lanes, n, Wa)
+    lengths = native.lens_decode(len_lanes, n, Wa, prev_step)
 
     # 2. flags (implicit counts: 3 per record)
     rec_per_lane = (n - np.arange(Wa) + Wa - 1) // Wa
@@ -275,7 +278,7 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
     idd_lanes = dec_lanes("IDD")
     idx_lanes = dec_lanes("IDX")
     ida, ioff, ilen, pla, poff, plen = native.ids_decode(
-        n, Wa, flags, idd_lanes, idx_lanes)
+        n, Wa, flags, idd_lanes, idx_lanes, prev_step)
 
     # 4. seq exceptions (parsed + patched in C++ after the SEQ unpack)
     sx_lanes = dec_lanes("SEQX")

@@ -5,8 +5,9 @@ CNT_SHIFT, the pad-coding rule, the update law, config.py level geometries,
 container.py framing) fails here even when round-trip tests still pass —
 old containers in the wild would stop decoding.
 
-Fixtures live in tests/data/ and were generated at format VERSION 2;
-golden_v1.* pins backward decode compatibility with round-1 containers.
+Fixtures live in tests/data/; golden_v3_l*.sfq pin the current format,
+golden_v1.* / golden_v2_l*.sfq pin backward decode compatibility with
+round-1 / round-2 containers.
 """
 
 import io
@@ -58,7 +59,7 @@ def test_container_golden_per_level(level):
     """Whole-container bytes are pinned per level (container framing +
     every stream's coded bytes)."""
     data = _read("golden_v2.fastq")
-    golden = _read(f"golden_v2_l{level}.sfq")
+    golden = _read(f"golden_v3_l{level}.sfq")
     enc = encode_fastq(data, level=level, lanes=32, aux_lanes=8,
                        block_records=160, use_native=False)
     assert enc == golden, \
@@ -74,7 +75,23 @@ def test_container_golden_native_matches():
     data = _read("golden_v2.fastq")
     enc = encode_fastq(data, level=3, lanes=32, aux_lanes=8,
                        block_records=160, use_native=True)
-    assert enc == _read("golden_v2_l3.sfq")
+    assert enc == _read("golden_v3_l3.sfq")
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 4])
+def test_v2_container_still_decodes(level):
+    """Round-2 (VERSION 2) containers decode bit-exactly at every level:
+    same framing as v3, but the ID/LEN delta baseline is the globally
+    previous record r-1 (serial decode chains) with unbiased deltas."""
+    old = _read(f"golden_v2_l{level}.sfq")
+    ref = _read("golden_v2.fastq")
+    f = io.BytesIO(old)
+    cfg = container.read_header(f)
+    assert cfg.fmt == 2 and cfg.level == level
+    assert decode_fastq(old, use_native=False) == ref
+    from slimfastq_tpu import native
+    if native.available():
+        assert decode_fastq(old, use_native=True) == ref
 
 
 @pytest.mark.parametrize("level", [1, 2, 3, 4])
@@ -108,4 +125,4 @@ def test_frozen_constants():
     assert (R.PROB_BITS, R.PROB_MIN, R.PROB_MAX) == (12, 16, 4080)
     assert (R.RENORM_ITERS, R.FLUSH_BYTES, R.STEP_BUCKET) == (4, 4, 256)
     assert (R.CAP_LOG2, R.CNT_SHIFT) == (4, 22)
-    assert container.VERSION == 2
+    assert container.VERSION == 3

@@ -41,7 +41,12 @@ def test_multiprocess_encode_merge_equals_single(tmp_path, nproc):
     # workers need only a couple of virtual devices each
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # strip the axon TPU plugin: JAX_PLATFORMS=cpu alone does not stop it
+    # from claiming the backend, and its tunnel init can hang a worker
+    # (KERNEL_NOTES §6; same isolation bench.py uses for its CPU pass)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                  if p and "axon" not in p])
     procs = []
     outs = []
     for p in range(nproc):
