@@ -152,12 +152,17 @@ def _block_body(blk: EncodedBlock) -> bytes:
             _write_u32_array(hdr, es.sym_counts)
         _write_u32_array(hdr, es.lane_lens)
         body.write(hdr)
-        # per-lane unpadded payload concat == boolean-mask row gather
+        # per-lane unpadded payload concat
         lens = np.asarray(es.lane_lens, dtype=np.int64)
         maxlen = es.payload.shape[1]
         if lens.size and maxlen:
-            mask = np.arange(maxlen)[None, :] < lens[:, None]
-            body.write(es.payload[mask].tobytes())
+            from . import native
+            if native.available():
+                body.write(native.ragged_pack_rows(es.payload,
+                                                   lens).tobytes())
+            else:
+                mask = np.arange(maxlen)[None, :] < lens[:, None]
+                body.write(es.payload[mask].tobytes())
     return body.getvalue()
 
 
@@ -190,12 +195,21 @@ def _parse_body(buf: bytes, pos: int):
         total = int(lane_lens.sum())
         if pos + total > len(buf):
             raise ValueError("container truncated (short lane payload)")
-        payload = np.zeros((len(lane_lens), maxlen), dtype=np.uint8)
         if total:
-            mask = np.arange(maxlen)[None, :] < lane_lens[:, None]
-            payload[mask] = np.frombuffer(buf, dtype=np.uint8,
-                                          count=total, offset=pos)
+            flat = np.frombuffer(buf, dtype=np.uint8, count=total,
+                                 offset=pos)
+            from . import native
+            if native.available():
+                payload = native.ragged_unpack_rows(flat, lane_lens,
+                                                    maxlen)
+            else:
+                payload = np.zeros((len(lane_lens), maxlen),
+                                   dtype=np.uint8)
+                mask = np.arange(maxlen)[None, :] < lane_lens[:, None]
+                payload[mask] = flat
             pos += total
+        else:
+            payload = np.zeros((len(lane_lens), maxlen), dtype=np.uint8)
         streams[name] = EncodedStream(sym_counts, lane_lens, payload)
     return EncodedBlock(num_records, minq, qual_depth, streams), pos
 

@@ -57,7 +57,11 @@ def _load():
     lib.fastq_index.restype = i64
     lib.fastq_index.argtypes = [p8, i64, i64] + [pi64] * 9
     lib.lens_encode.restype = i64
-    lib.lens_encode.argtypes = [pi64, i64, i64, i64, p8, i64, pi32]
+    lib.lens_encode.argtypes = [pi64, i64, i64, i64, p8, i64, pi64]
+    lib.ragged_pack_rows.restype = i64
+    lib.ragged_pack_rows.argtypes = [p8, i64, i64, pi64, p8]
+    lib.ragged_unpack_rows.restype = None
+    lib.ragged_unpack_rows.argtypes = [p8, i64, i64, pi64, p8]
     lib.lens_decode.restype = i64
     lib.lens_decode.argtypes = [pp8, pi64, i64, i64, i64, pi64]
     lib.ids_encode.restype = i64
@@ -155,16 +159,40 @@ def fastq_index(data):
     return {k: v[:n] for k, v in outs.items()}, int(n)
 
 
-def lens_encode(lengths: np.ndarray, wa: int, prev_step: int = 1):
+def lens_encode(lengths: np.ndarray, wa: int,
+                prev_step: int = 1) -> list[np.ndarray]:
+    """Per-lane LEN streams (svarint deltas, lane = r % wa)."""
     n = len(lengths)
-    out = np.zeros(10 * max(n, 1), dtype=np.uint8)
-    rec_nbytes = np.zeros(max(n, 1), dtype=np.int32)
-    total = lib.lens_encode(_pi64(np.ascontiguousarray(lengths)), n, wa,
-                            prev_step, _p8(out), len(out),
-                            _pi32(rec_nbytes))
-    if total < 0:
+    stride = 10 * ((n + max(wa, 1) - 1) // max(wa, 1)) + 16
+    arena = np.empty(wa * stride, dtype=np.uint8)
+    sizes = np.zeros(wa, dtype=np.int64)
+    r = lib.lens_encode(_pi64(np.ascontiguousarray(lengths)), n, wa,
+                        prev_step, _p8(arena), stride, _pi64(sizes))
+    if r < 0:
         raise RuntimeError("lens_encode overflow")
-    return out[:total], rec_nbytes[:n]
+    return [arena[w * stride: w * stride + sizes[w]].copy()
+            for w in range(wa)]
+
+
+def ragged_pack_rows(payload: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """[W, maxlen] u8 + per-row lens -> concatenated unpadded bytes."""
+    W, maxlen = payload.shape
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.empty(int(lens.sum()), dtype=np.uint8)
+    lib.ragged_pack_rows(_p8(np.ascontiguousarray(payload)), W, maxlen,
+                         _pi64(lens), _p8(out))
+    return out
+
+
+def ragged_unpack_rows(flat: np.ndarray, lens: np.ndarray,
+                       maxlen: int) -> np.ndarray:
+    """Inverse of ragged_pack_rows: flat bytes -> zero-padded [W, maxlen]."""
+    W = len(lens)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    mat = np.zeros((W, maxlen), dtype=np.uint8)
+    lib.ragged_unpack_rows(_p8(np.ascontiguousarray(flat)), W, maxlen,
+                           _pi64(lens), _p8(mat))
+    return mat
 
 
 def lens_decode(lane_bufs: list[np.ndarray], n: int, wa: int,

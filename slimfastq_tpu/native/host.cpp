@@ -139,30 +139,62 @@ static inline bool get_varint(const uint8_t* buf, int64_t n, int64_t& pos,
 // r - prev_step (frozen per container format version; matches
 // pipeline.py): prev_step=1 for v1/v2, prev_step=wa for v3.
 // out buffers sized by caller (max 10 bytes/record). Returns per-lane and
-// per-record byte boundaries via rec_nbytes.
+
 // ---------------------------------------------------------------------------
+static inline int put_varint_raw(uint8_t* out, uint64_t v) {
+    int i = 0;
+    while (true) {
+        uint8_t b = v & 0x7F;
+        v >>= 7;
+        if (v) out[i++] = b | 0x80;
+        else { out[i++] = b; return i; }
+    }
+}
+
+// Emit the per-lane LEN streams directly (arena: wa rows of `stride`
+// bytes, per-lane sizes out). prev_step: delta baseline distance. 1 =
+// globally previous record (format v1/v2); wa = aux-lane-local previous
+// (format v3 — makes decode chains per-lane and therefore
+// lane-parallel). v3 prologue: the first prev_step records delta
+// against r-1 (global), so a small file does not pay prev_step absolute
+// heads — decode runs the same short serial prologue.
 int64_t lens_encode(const int64_t* lengths, int64_t n, int64_t wa,
                     int64_t prev_step,
-                    uint8_t* out, int64_t out_cap, int32_t* rec_nbytes) {
-    (void)wa;
-    // prev_step: delta baseline distance. 1 = globally previous record
-    // (format v1/v2); wa = aux-lane-local previous (format v3 — makes
-    // decode chains per-lane and therefore lane-parallel). v3 prologue:
-    // the first prev_step records delta against r-1 (global), so a small
-    // file does not pay prev_step absolute heads — decode runs the same
-    // short serial prologue before going lane-parallel.
-    std::vector<uint8_t> buf;
-    buf.reserve(n * 2);
+                    uint8_t* arena, int64_t stride, int64_t* sizes) {
+    for (int64_t w = 0; w < wa; w++) sizes[w] = 0;
     for (int64_t r = 0; r < n; r++) {
-        size_t before = buf.size();
+        int64_t w = r % wa;
         int64_t prev = (r >= prev_step) ? lengths[r - prev_step]
             : (r >= 1 ? lengths[r - 1] : 0);
-        put_varint(buf, zigzag(lengths[r] - prev));
-        rec_nbytes[r] = int32_t(buf.size() - before);
+        if (sizes[w] + 10 > stride) return -1;
+        sizes[w] += put_varint_raw(arena + w * stride + sizes[w],
+                                   zigzag(lengths[r] - prev));
     }
-    if ((int64_t)buf.size() > out_cap) return -1;
-    memcpy(out, buf.data(), buf.size());
-    return (int64_t)buf.size();
+    return 0;
+}
+
+// Ragged per-lane payload <-> padded [W, maxlen] matrix (container
+// framing). One parallel memcpy per lane — replaces the NumPy
+// boolean-mask gather/scatter, which cost ~4 ms per 3 MB payload.
+int64_t ragged_pack_rows(const uint8_t* mat, int64_t W, int64_t maxlen,
+                         const int64_t* lens, uint8_t* out) {
+    std::vector<int64_t> off(W + 1, 0);
+    for (int64_t w = 0; w < W; w++) off[w + 1] = off[w] + lens[w];
+#pragma omp parallel for schedule(static)
+    for (int64_t w = 0; w < W; w++)
+        if (lens[w])
+            memcpy(out + off[w], mat + w * maxlen, (size_t)lens[w]);
+    return off[W];
+}
+
+void ragged_unpack_rows(const uint8_t* flat, int64_t W, int64_t maxlen,
+                        const int64_t* lens, uint8_t* mat) {
+    std::vector<int64_t> off(W + 1, 0);
+    for (int64_t w = 0; w < W; w++) off[w + 1] = off[w] + lens[w];
+#pragma omp parallel for schedule(static)
+    for (int64_t w = 0; w < W; w++)
+        if (lens[w])
+            memcpy(mat + w * maxlen, flat + off[w], (size_t)lens[w]);
 }
 
 int64_t lens_decode(const uint8_t* const* lane_bufs,
@@ -614,12 +646,17 @@ int64_t ids_decode(int64_t n, int64_t wa, int64_t prev_step,
         int64_t bad = 0;
 #pragma omp parallel for schedule(dynamic, 1) reduction(min:bad)
         for (int64_t w = 0; w < head; w++) {
+            // thread-local state copy: adjacent LaneSt entries share
+            // cache lines and are updated per record — in-place use
+            // false-shared them into a 1x serial-speed "parallel" loop
+            LaneSt ls = st[w];
             int64_t rc = ids_decode_lane(
                 w + wa, n, wa, n, flags, delta_bufs[w], delta_sizes[w],
                 exc_bufs[w], exc_sizes[w],
                 id_arena + base[w], cap[w], base[w], out_off, out_len,
                 plus_arena + pbase[w], pcap[w], pbase[w],
-                plus_off, plus_len, st[w]);
+                plus_off, plus_len, ls);
+            st[w] = ls;
             if (rc < 0 && rc < bad) bad = rc;
         }
         if (bad < 0) return bad;

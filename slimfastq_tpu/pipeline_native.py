@@ -28,60 +28,31 @@ _CODE_TO_BASE_FULL = _CODE_TO_BASE[np.arange(256) & 3].astype(np.uint8)
 
 
 def _group_order(n: int, W: int) -> np.ndarray:
-    """Stable grouping of records by lane (record r -> lane r % W)."""
-    return np.argsort(np.arange(n) % W, kind="stable")
+    """Stable grouping of records by lane (record r -> lane r % W);
+    closed form (an argsort here cost ~1.3 ms at 64k records)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    Rpl = (n + W - 1) // W
+    grid = (np.arange(W, dtype=np.int64)[:, None]
+            + np.arange(Rpl, dtype=np.int64)[None, :] * W).ravel()
+    return grid[grid < n]
 
 
-def _gather_ranges(src: np.ndarray, offs: np.ndarray, lens: np.ndarray):
-    """Concatenate src[offs[i]:offs[i]+lens[i]] for all i (vectorised)."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, dtype=src.dtype)
-    starts = np.zeros(len(lens), dtype=np.int64)
-    starts[1:] = np.cumsum(lens[:-1])
-    idx = np.repeat(offs - starts, lens) + np.arange(total, dtype=np.int64)
-    return src[idx]
+def _lanes_to_mat(lanes_b, Wa: int):
+    """Per-lane byte buffers -> ([S, Wa] u8 matrix, counts). Row-major
+    fill (contiguous memcpy per lane) + one blocked C++ transpose — the
+    column-strided fill this replaces cost ~3.4 ms per stream."""
+    counts = np.array([len(b) for b in lanes_b], dtype=np.int64)
+    S = int(counts.max()) if counts.size else 0
+    if S == 0:
+        return np.zeros((0, Wa), dtype=np.uint8), counts
+    symsT = np.zeros((Wa, S), dtype=np.uint8)
+    for w, b in enumerate(lanes_b):
+        if len(b):
+            symsT[w, : len(b)] = b
+    return native.transpose_mat(symsT), counts
 
 
-def _lane_matrix(flat_grouped: np.ndarray, lane_totals: np.ndarray):
-    """Per-lane concatenated bytes (grouped flat) -> [S, W] matrix."""
-    W = len(lane_totals)
-    S = int(lane_totals.max()) if W else 0
-    syms = np.zeros((S, W), dtype=U32)
-    if flat_grouped.size == 0:
-        return syms, lane_totals.astype(np.int64)
-    starts = np.zeros(W, dtype=np.int64)
-    starts[1:] = np.cumsum(lane_totals[:-1])
-    rows = (np.arange(flat_grouped.size, dtype=np.int64)
-            - np.repeat(starts, lane_totals))
-    cols = np.repeat(np.arange(W), lane_totals)
-    syms[rows, cols] = flat_grouped
-    return syms, lane_totals.astype(np.int64)
-
-
-def _matrix_to_grouped(syms: np.ndarray, lane_totals: np.ndarray):
-    """Inverse of _lane_matrix."""
-    W = len(lane_totals)
-    total = int(lane_totals.sum())
-    if total == 0:
-        return np.zeros(0, dtype=syms.dtype)
-    starts = np.zeros(W, dtype=np.int64)
-    starts[1:] = np.cumsum(lane_totals[:-1])
-    rows = (np.arange(total, dtype=np.int64)
-            - np.repeat(starts, lane_totals))
-    cols = np.repeat(np.arange(W), lane_totals)
-    return syms[rows, cols]
-
-
-def _per_record_lane_layout(lengths: np.ndarray, W: int):
-    """Group records by lane; return (order, lane_totals, grouped record
-    lengths)."""
-    n = len(lengths)
-    order = _group_order(n, W)
-    glens = lengths[order]
-    lane_totals = np.bincount(np.arange(n) % W, weights=lengths,
-                              minlength=W).astype(np.int64)
-    return order, lane_totals, glens
 
 
 def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
@@ -111,15 +82,8 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     prev_step = Wa if cfg.fmt >= 3 else 1  # delta baseline (frozen/fmt)
 
     # --- LEN ---------------------------------------------------------------
-    flat, rec_nbytes = native.lens_encode(lengths, Wa, prev_step)
-    nb64 = rec_nbytes.astype(np.int64)
-    boffs = np.zeros(n, dtype=np.int64)
-    boffs[1:] = np.cumsum(nb64[:-1])
-    order_a = _group_order(n, Wa)
-    grouped = _gather_ranges(flat, boffs[order_a], nb64[order_a])
-    lane_tot = np.bincount(np.arange(n) % Wa, weights=nb64,
-                           minlength=Wa).astype(np.int64)
-    lsyms, lcounts = _lane_matrix(grouped, lane_tot)
+    lsyms, lcounts = _lanes_to_mat(native.lens_encode(lengths, Wa,
+                                                      prev_step), Wa)
     jobs["LEN"] = ("byte", cfg.bytes_, lsyms, lcounts, None, None)
 
     # --- IDs + plus: flags/IDD/IDX -----------------------------------------
@@ -128,22 +92,26 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
             "plus_off": np.ascontiguousarray(plus_off),
             "plus_len": np.ascontiguousarray(plus_len)}
     flags, dl, xl = native.ids_encode(data, bidx, n, Wa, prev_step)
-    # FLAG stream: 3 symbols per record, lane-grouped
-    f3 = flags.reshape(n, 3).astype(np.int64)
-    forder = _group_order(n, Wa)
-    fgrouped = f3[forder].reshape(-1)
-    flane_tot = 3 * np.bincount(np.arange(n) % Wa,
-                                minlength=Wa).astype(np.int64)
-    fsyms, fcounts = _lane_matrix(fgrouped, flane_tot)
+    # FLAG stream: 3 symbols per record, lane-grouped (row-major fill +
+    # one transpose; the int64 fancy-index reorder here cost ~4.3 ms)
+    f3 = flags.reshape(n, 3)
+    rec_per_lane = ((n - np.arange(Wa) + Wa - 1) // Wa
+                    if n else np.zeros(Wa, dtype=np.int64))
+    fcounts = (3 * rec_per_lane).astype(np.int64)
+    maxrec = int(rec_per_lane.max()) if n else 0
+    if maxrec:
+        fT = np.zeros((Wa, 3 * maxrec), dtype=np.uint8)
+        for w in range(Wa):
+            sub = f3[w::Wa]
+            if sub.size:
+                fT[w, : sub.size] = sub.ravel()
+        fsyms = native.transpose_mat(fT)
+    else:
+        fsyms = np.zeros((0, Wa), dtype=np.uint8)
     jobs["FLAG"] = ("flag", cfg.flags, fsyms, fcounts, None, None)
 
     for name, lanes_b in (("IDD", dl), ("IDX", xl)):
-        counts = np.array([len(b) for b in lanes_b], dtype=np.int64)
-        S = int(counts.max()) if counts.size else 0
-        syms = np.zeros((S, Wa), dtype=U32)
-        for w, b in enumerate(lanes_b):
-            if len(b):
-                syms[: len(b), w] = b
+        syms, counts = _lanes_to_mat(lanes_b, Wa)
         jobs[name] = ("byte", cfg.bytes_, syms, counts, None, None)
 
     # --- SEQ + SEQX ---------------------------------------------------------
@@ -169,12 +137,7 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
                                        rec_bad=rec_bad, nbad=nbad)
     else:
         seqx_lane = [np.zeros(0, dtype=np.uint8)] * Wa
-    sx_counts = np.array([len(b) for b in seqx_lane], dtype=np.int64)
-    sxS = int(sx_counts.max()) if sx_counts.size else 0
-    sxsyms = np.zeros((sxS, Wa), dtype=U32)
-    for w, b in enumerate(seqx_lane):
-        if len(b):
-            sxsyms[: len(b), w] = b
+    sxsyms, sx_counts = _lanes_to_mat(seqx_lane, Wa)
     jobs["SEQX"] = ("byte", cfg.bytes_, sxsyms, sx_counts, None, None)
     jobs["SEQ"] = ("seq", cfg.seq, sq, scounts, pos, reset)
 
