@@ -539,6 +539,7 @@ def run_phases():
     byte-identical containers. Returns (host_enc, host_dec, dev_enc,
     dev_dec) timing dicts."""
     base = dict(os.environ, SFQ_BENCH_TMP=WORKDIR)
+    timeout_s = int(os.environ.get("SFQ_BENCH_PHASE_TIMEOUT", 2400))
     for mode in ("cpu", "tpu"):
         env = dict(base, SFQ_BENCH_MODE=mode)
         if mode == "cpu":
@@ -547,8 +548,16 @@ def run_phases():
                 p for p in env.get("PYTHONPATH", "").split(os.pathsep)
                 if "axon" not in p)
         for ph in ("enc", "dec"):
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=dict(env, SFQ_BENCH_PHASE=ph))
+            try:
+                # the timeout guards against a wedged device tunnel: a
+                # hung TPU phase must fail the run, not hang the driver
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=dict(env, SFQ_BENCH_PHASE=ph), timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                raise RuntimeError(
+                    f"phase {mode}/{ph} timed out after {timeout_s}s "
+                    "(device tunnel hung?)")
             if r.returncode != 0:
                 raise RuntimeError(f"phase {mode}/{ph} failed")
     with open(os.path.join(WORKDIR, "bench_cpu.sfq"), "rb") as f:
@@ -654,9 +663,24 @@ def main() -> int:
     try:
         enc, dec, denc, ddec = run_phases()
     except RuntimeError as e:
-        print(json.dumps({"metric": "fastq_encode_decode_e2e_throughput",
-                          "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
-                          "error": str(e)}))
+        out = {"metric": "fastq_encode_decode_e2e_throughput",
+               "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+               "error": str(e)}
+        # salvage the CPU pass's host-stage numbers if that half ran
+        try:
+            with open(os.path.join(WORKDIR, "enc_cpu.json")) as f:
+                ec = json.load(f)
+            with open(os.path.join(WORKDIR, "dec_cpu.json")) as f:
+                dc = json.load(f)
+            out["host_encode_s"] = round(
+                ec["host_index"] + ec["host_prep"] + ec["host_pack"]
+                + ec["host_compact"] + ec["host_write"], 5)
+            out["host_decode_s"] = round(
+                dc["host_read"] + dc["host_dec_prep"]
+                + dc["host_dec_finish"], 5)
+        except (OSError, KeyError, ValueError):
+            pass
+        print(json.dumps(out))
         return 1
     out = summarize(enc, dec, denc, ddec, level)
     out["platform"] = jax.devices()[0].platform
