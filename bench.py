@@ -315,6 +315,7 @@ def phase_encode() -> int:
             dt, cold, (payload, lens) = _timeit_host(
                 lambda: SJ._flush_append(pay, totals, low, counts))
             t["host_compact"] += dt
+            t["host_flush"] = t.get("host_flush", 0.0) + dt
             t["host_cold_extra"] += max(0.0, cold - dt)
         else:
             _, ebufs, eptrs, low, counts, CB = comp_in[name]
@@ -322,6 +323,16 @@ def phase_encode() -> int:
                 lambda: SJ._compact_host(ebufs, eptrs, low, counts, CB))
             t["host_compact"] += dt
             t["host_cold_extra"] += max(0.0, cold - dt)
+            # ALSO time the flush-append this stream would cost when the
+            # device compacts the payload (the TPU deployment's only
+            # host-side compaction work); summarize() uses it when the
+            # TPU pass ran the Pallas compactor. Inputs reconstructed
+            # from the host-compacted payload: identical bytes.
+            act = counts > 0
+            totals = np.where(act, lens - 4, 0).astype(np.int64)
+            dt_f, _, _ = _timeit_host(
+                lambda: SJ._flush_append(payload, totals, low, counts))
+            t["host_flush"] = t.get("host_flush", 0.0) + dt_f
         streams[name] = EncodedStream(counts.astype(np.int64), lens,
                                       payload)
     blk = EncodedBlock(n, minq, qual_depth, streams)
@@ -579,8 +590,14 @@ def summarize(enc, dec, denc, ddec, level):
     """Host stages from the cpu pass (enc, dec); device kernels and
     tunnel transfers from the tpu pass (denc, ddec)."""
     raw = enc["raw"]
+    # compaction host cost: when the TPU pass ran the Pallas device
+    # compactor, the deployment's host work is only the flush append
+    # (timed in the CPU pass on identical bytes); otherwise the full
+    # host compaction
+    compact_s = enc.get("host_flush", enc["host_compact"]) \
+        if denc.get("dev_compact", 0) > 0 else enc["host_compact"]
     host_enc = (enc["host_index"] + enc["host_prep"] + enc["host_pack"]
-                + enc["host_compact"] + enc["host_write"])
+                + compact_s + enc["host_write"])
     host_dec = (dec["host_read"] + dec["host_dec_prep"]
                 + dec["host_dec_finish"])
     dev = (denc["dev_enc"] + denc["dev_pack"] + denc["dev_compact"]
@@ -618,7 +635,8 @@ def summarize(enc, dec, denc, ddec, level):
             "index": round(enc["host_index"], 5),
             "prep": round(enc["host_prep"], 5),
             "pack": round(enc["host_pack"], 5),
-            "compact": round(enc["host_compact"], 5),
+            "compact": round(compact_s, 5),
+            "compact_host_fallback": round(enc["host_compact"], 5),
             "write": round(enc["host_write"], 5),
             "read": round(dec["host_read"], 5),
             "dec_prep": round(dec["host_dec_prep"], 5),

@@ -78,14 +78,11 @@ def encode_file(src: str, dst: str, level: int = 3, backend=streams_np,
 
 def _record_boundary(chunk: bytes) -> int:
     """Largest prefix of `chunk` ending on a 4-line record boundary."""
-    n_nl = chunk.count(b"\n")
-    keep_nl = (n_nl // 4) * 4
+    nls = np.flatnonzero(np.frombuffer(chunk, dtype=np.uint8) == 10)
+    keep_nl = (len(nls) // 4) * 4
     if keep_nl == 0:
         return 0
-    pos = -1
-    for _ in range(keep_nl):
-        pos = chunk.index(b"\n", pos + 1)
-    return pos + 1
+    return int(nls[keep_nl - 1]) + 1
 
 
 def encode_file_streaming(src: str, dst: str, level: int = 3,

@@ -187,6 +187,30 @@ int64_t ragged_pack_rows(const uint8_t* mat, int64_t W, int64_t maxlen,
     return off[W];
 }
 
+// Compacted per-lane payload + per-lane totals -> final padded payload
+// with the 4 coder-flush bytes appended per active lane (twin of
+// streams_jax._flush_append; the NumPy mask path cost ~7 ms/block).
+void flush_append(const uint8_t* pay, int64_t W, int64_t paylen,
+                  const int64_t* totals, const uint32_t* low,
+                  const int64_t* counts, uint8_t* out, int64_t maxlen) {
+#pragma omp parallel for schedule(static)
+    for (int64_t w = 0; w < W; w++) {
+        uint8_t* row = out + w * maxlen;
+        if (counts[w] <= 0 || maxlen == 0) {
+            memset(row, 0, (size_t)maxlen);
+            continue;
+        }
+        int64_t t = totals[w];
+        memcpy(row, pay + w * paylen, (size_t)t);
+        uint32_t lo = low[w];
+        row[t] = (uint8_t)(lo >> 24);
+        row[t + 1] = (uint8_t)(lo >> 16);
+        row[t + 2] = (uint8_t)(lo >> 8);
+        row[t + 3] = (uint8_t)lo;
+        if (t + 4 < maxlen) memset(row + t + 4, 0, (size_t)(maxlen - t - 4));
+    }
+}
+
 void ragged_unpack_rows(const uint8_t* flat, int64_t W, int64_t maxlen,
                         const int64_t* lens, uint8_t* mat) {
     std::vector<int64_t> off(W + 1, 0);
@@ -364,11 +388,18 @@ static void ids_encode_range(const uint8_t* data,
                         ok = false;
                         break;
                     }
-                    uint8_t rbuf[32];
-                    int64_t rl = render(prev + pt[t].off, pt[t].len, cv,
-                                        rbuf, sizeof rbuf);
-                    if (rl != ct[t].len ||
-                        memcmp(rbuf, cur + ct[t].off, rl) != 0) {
+                    // re-renderability check without materialising the
+                    // render: cv >= 0 here (digit-run token), and two
+                    // same-length decimal strings with equal value are
+                    // identical, so rendered == ct iff the rendered
+                    // width matches. Mirrors render(): zero-pad to the
+                    // prev token's width when it had a leading zero.
+                    int64_t digits = 1;
+                    for (int64_t v = cv; v >= 10; v /= 10) digits++;
+                    bool zpad = pt[t].len > 1 && prev[pt[t].off] == '0';
+                    int64_t width = (zpad && digits < pt[t].len)
+                        ? pt[t].len : digits;
+                    if (width != ct[t].len) {
                         ok = false;
                         break;
                     }

@@ -198,8 +198,10 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
 
 
 def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
-                      backend) -> bytes:
-    """Decode one block straight to FASTQ bytes (native assembly)."""
+                      backend) -> memoryview | bytes:
+    """Decode one block straight to FASTQ bytes (native assembly).
+    Returns a bytes-like (memoryview over the assembled buffer —
+    zero-copy; b''.join / file.write / == all accept it)."""
     n = blk.num_records
     W, Wa = cfg.lanes, cfg.aux_lanes
     if n == 0:
