@@ -32,13 +32,25 @@ def encode_fastq(data: bytes, cfg: CodecConfig | None = None,
     container.write_header(out, cfg)
     offsets = []
     if use_native:
-        from .pipeline_native import encode_block_fast
+        from concurrent.futures import ThreadPoolExecutor
+        from .pipeline_native import (encode_prepared_block,
+                                      prepare_block_fast)
         buf = np.frombuffer(data, dtype=np.uint8)
         idx, n = native.fastq_index(data)
-        for lo in range(0, max(n, 1), cfg.block_records):
-            blk = encode_block_fast(buf, idx, lo, min(lo + cfg.block_records,
-                                                      n), cfg, backend)
-            offsets.append(container.write_block(out, blk))
+        ranges = [(lo, min(lo + cfg.block_records, n))
+                  for lo in range(0, max(n, 1), cfg.block_records)]
+        # two-stage pipeline: host-prep block k+1 (C++/NumPy, releases
+        # the GIL) while block k is coded on the device and written
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(prepare_block_fast, buf, idx, *ranges[0],
+                            cfg, backend)
+            for i, _ in enumerate(ranges):
+                pre = fut.result()
+                if i + 1 < len(ranges):
+                    fut = ex.submit(prepare_block_fast, buf, idx,
+                                    *ranges[i + 1], cfg, backend)
+                blk = encode_prepared_block(pre, cfg, backend)
+                offsets.append(container.write_block(out, blk))
     else:
         batch = parse_fastq_bytes(data)
         for lo in range(0, max(len(batch), 1), cfg.block_records):
@@ -104,8 +116,9 @@ def encode_file_streaming(src: str, dst: str, level: int = 3,
         cfg = w.cfg
     else:
         w = container.Writer.create(dst, cfg)
-    carry = b""
-    batch_carry: FastqBatch | None = None
+    use_native = native.available()
+    carry = b""                  # partial-record and leftover-record bytes
+    batch_carry: FastqBatch | None = None   # non-native fallback carry
     seen = 0
     with open(src, "rb") as f:
         while True:
@@ -116,6 +129,28 @@ def encode_file_streaming(src: str, dst: str, level: int = 3,
             cut = len(chunk) if eof else _record_boundary(chunk)
             data, carry = chunk[:cut], chunk[cut:]
             if not data:
+                if eof:
+                    break
+                continue
+            if use_native:
+                # production path: index + native block pipeline; whole
+                # leftover records carry over as bytes so every block
+                # boundary matches the non-streaming encode exactly
+                from .pipeline_native import encode_block_fast
+                buf = np.frombuffer(data, dtype=np.uint8)
+                idx, n = native.fastq_index(data)
+                full = (n // cfg.block_records) * cfg.block_records
+                limit = n if eof else full
+                for lo in range(0, limit, cfg.block_records):
+                    hi = min(lo + cfg.block_records, limit)
+                    if seen + hi <= skip_records:
+                        continue  # already in the resumed output
+                    w.append(encode_block_fast(buf, idx, lo, hi, cfg,
+                                               backend))
+                seen += limit
+                if limit < n:
+                    start = int(idx["id_off"][limit]) - 1
+                    carry = data[start:] + carry
                 if eof:
                     break
                 continue

@@ -160,27 +160,43 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     return jobs, n, minq, qual_depth, ll_mat
 
 
-def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
-                      cfg: CodecConfig, backend) -> EncodedBlock:
+def prepare_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
+                       cfg: CodecConfig, backend):
+    """Host-only half of encode_block_fast (stream modeling + aux lane
+    matrices). The returned opaque tuple feeds encode_prepared_block —
+    split so a pipelined caller can prep block k+1 while block k is on
+    the device (both halves release the GIL in their hot parts)."""
     ll_capable = hasattr(backend, "encode_stream_ll")
     raw_capable = (hi > lo and hasattr(backend, "encode_seq_qual_raw")
                    and native.available())
     jobs, n, minq, qual_depth, ll_mat = stream_jobs_fast(
         data, idx, lo, hi, cfg, want_pos_reset=not ll_capable,
         device_pack=raw_capable)
-    raw_out = None
+    raw_args = None
     if raw_capable:
-        # ship the block's raw byte range once; offsets become block-local
+        # the block's raw byte range ships to the device once; offsets
+        # become block-local
         sl = slice(lo, hi)
         lengths = idx["seq_len"][sl].astype(np.int64)
         base = int(idx["id_off"][lo]) - 1  # the record's '@'
         last = hi - 1
         end = int(idx["qual_off"][last] + idx["qual_len"][last])
+        raw_args = (data[base:end], idx["seq_off"][sl] - base,
+                    idx["qual_off"][sl] - base, lengths)
+    return (jobs, n, minq, qual_depth, ll_mat, raw_args, ll_capable)
+
+
+def encode_prepared_block(pre, cfg: CodecConfig, backend) -> EncodedBlock:
+    """Device half of encode_block_fast: code every stream of a prepared
+    block and assemble the EncodedBlock."""
+    jobs, n, minq, qual_depth, ll_mat, raw_args, ll_capable = pre
+    raw_out = None
+    if raw_args is not None:
+        blk_bytes, seq_offs, qual_offs, lengths = raw_args
         raw_out = backend.encode_seq_qual_raw(
-            jobs["SEQ"][1], jobs["QUAL"][1], data[base:end],
-            idx["seq_off"][sl] - base, idx["qual_off"][sl] - base,
-            lengths, cfg.lanes, _BASE_TO_CODE_DEV, minq, ll_mat,
-            jobs["SEQ"][3])
+            jobs["SEQ"][1], jobs["QUAL"][1], blk_bytes, seq_offs,
+            qual_offs, lengths, cfg.lanes, _BASE_TO_CODE_DEV, minq,
+            ll_mat, jobs["SEQ"][3])
     streams: dict[str, EncodedStream] = {}
     for name in STREAMS:
         kind, geom, syms, counts, pos, reset = jobs[name]
@@ -195,6 +211,12 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         streams[name] = EncodedStream(np.asarray(counts).astype(np.int64),
                                       lens, payload)
     return EncodedBlock(n, minq, qual_depth, streams)
+
+
+def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
+                      cfg: CodecConfig, backend) -> EncodedBlock:
+    return encode_prepared_block(
+        prepare_block_fast(data, idx, lo, hi, cfg, backend), cfg, backend)
 
 
 def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
