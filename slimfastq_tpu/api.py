@@ -70,9 +70,20 @@ def decode_fastq(data: bytes, backend=streams_np,
         use_native = native.available()
     parts = []
     if use_native:
-        from .pipeline_native import decode_block_fast
-        for blk in container.iter_blocks(f, cfg):
-            parts.append(decode_block_fast(blk, cfg, backend))
+        from concurrent.futures import ThreadPoolExecutor
+        from .pipeline_native import (decode_block_device,
+                                      decode_block_finish)
+        # two-stage pipeline: block k's host finish (ID chain decode +
+        # assembly, releases the GIL) overlaps block k+1's device decode
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = None
+            for blk in container.iter_blocks(f, cfg):
+                inter = decode_block_device(blk, cfg, backend)
+                if fut is not None:
+                    parts.append(fut.result())
+                fut = ex.submit(decode_block_finish, inter, cfg)
+            if fut is not None:
+                parts.append(fut.result())
     else:
         for blk in container.iter_blocks(f, cfg):
             parts.append(serialize_fastq(decode_block(blk, cfg,
@@ -191,9 +202,18 @@ def decode_file_streaming(src: str, dst: str, backend=streams_np,
     with open(src, "rb") as f, open(dst, "wb") as out:
         cfg = container.read_header(f)
         if use_native:
-            from .pipeline_native import decode_block_fast
-            for blk in container.iter_blocks(f, cfg):
-                out.write(decode_block_fast(blk, cfg, backend))
+            from concurrent.futures import ThreadPoolExecutor
+            from .pipeline_native import (decode_block_device,
+                                          decode_block_finish)
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = None
+                for blk in container.iter_blocks(f, cfg):
+                    inter = decode_block_device(blk, cfg, backend)
+                    if fut is not None:
+                        out.write(fut.result())
+                    fut = ex.submit(decode_block_finish, inter, cfg)
+                if fut is not None:
+                    out.write(fut.result())
         else:
             for blk in container.iter_blocks(f, cfg):
                 out.write(serialize_fastq(decode_block(blk, cfg,

@@ -219,15 +219,16 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         prepare_block_fast(data, idx, lo, hi, cfg, backend), cfg, backend)
 
 
-def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
-                      backend) -> memoryview | bytes:
-    """Decode one block straight to FASTQ bytes (native assembly).
-    Returns a bytes-like (memoryview over the assembled buffer —
-    zero-copy; b''.join / file.write / == all accept it)."""
+def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend):
+    """Device half of block decode: entropy-decode all seven streams and
+    lane-unpack SEQ/QUAL to record-major byte buffers. Returns an opaque
+    intermediate for decode_block_finish (the host-heavy half: ID chain
+    decode, SEQX patch, FASTQ assembly) — split so a pipelined caller
+    can overlap block k's host finish with block k+1's device work."""
     n = blk.num_records
     W, Wa = cfg.lanes, cfg.aux_lanes
     if n == 0:
-        return b""
+        return None
 
     def dec_lanes(name, kind="byte", geom=None, counts=None, pos=None,
                   reset=None):
@@ -261,21 +262,23 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
     flags = np.zeros(3 * n, dtype=np.uint8)
     flags.reshape(n, 3)[forder] = f_grouped.reshape(n, 3)
 
-    # 3. IDs + plus
+    # 3. ID delta/exception streams (the chain decode itself is in the
+    # finish half)
     idd_lanes = dec_lanes("IDD")
     idx_lanes = dec_lanes("IDX")
-    ida, ioff, ilen, pla, poff, plen = native.ids_decode(
-        n, Wa, flags, idd_lanes, idx_lanes, prev_step)
 
-    # 4. seq exceptions (parsed + patched in C++ after the SEQ unpack)
+    # 4. seq exceptions (parsed + patched in C++ in the finish half)
     sx_lanes = dec_lanes("SEQX")
 
-    # 5/6. seq + qual
+    # 5/6. seq + qual -> record-major flat byte buffers
     from .pipeline import _lane_lengths_matrix
     ss = blk.streams["SEQ"]
     qs = blk.streams["QUAL"]
     from dataclasses import replace
     qgeom = replace(cfg.qual, depth=blk.qual_depth)
+    rec_starts = np.zeros(n, dtype=np.int64)
+    rec_starts[1:] = np.cumsum(lengths[:-1])
+    total = int(lengths.sum())
 
     if hasattr(backend, "decode_seq_qual_raw") and native.available():
         # device-raw path: decode + lane-unpack on device, d2h two flat
@@ -283,53 +286,58 @@ def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
         ll_mat = _lane_lengths_matrix(lengths, W)
         scounts = ll_mat.sum(axis=0)
         S = int(scounts.max()) if scounts.size else 0
-        rec_starts = np.zeros(n, dtype=np.int64)
-        rec_starts[1:] = np.cumsum(lengths[:-1])
-        total = int(lengths.sum())
         seq_bytes, qual_bytes = backend.decode_seq_qual_raw(
             cfg.seq, qgeom, ss.payload, ss.lane_lens, qs.payload,
             qs.lane_lens, ll_mat, scounts, S, rec_starts, lengths, total,
             _CODE_TO_BASE_FULL, blk.minq)
-        native.seqx_apply(sx_lanes, cfg.fmt, n, rec_starts, lengths,
-                          seq_bytes)
-        return native.fastq_assemble(
-            n, ida, ioff, ilen,
-            np.ascontiguousarray(seq_bytes), rec_starts,
-            np.ascontiguousarray(qual_bytes), lengths,
-            pla, poff, plen)
-    if hasattr(backend, "decode_stream_ll"):
-        ll_mat = _lane_lengths_matrix(lengths, W)
-        scounts = ll_mat.sum(axis=0)
-        S = int(scounts.max()) if scounts.size else 0
-        seq_syms = backend.decode_stream_ll("seq", cfg.seq, ss.payload,
-                                            ss.lane_lens, ll_mat, scounts,
-                                            S)
-        qual_syms = backend.decode_stream_ll("qual", qgeom, qs.payload,
-                                             qs.lane_lens, ll_mat, scounts,
-                                             S)
     else:
-        _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
-        seq_syms = backend.decode_stream("seq", cfg.seq, ss.payload,
-                                         ss.lane_lens, scounts, S,
-                                         pos=pos, reset=reset)
-        qual_syms = backend.decode_stream("qual", qgeom, qs.payload,
-                                          qs.lane_lens, scounts, S,
-                                          pos=pos, reset=reset)
+        if hasattr(backend, "decode_stream_ll"):
+            ll_mat = _lane_lengths_matrix(lengths, W)
+            scounts = ll_mat.sum(axis=0)
+            S = int(scounts.max()) if scounts.size else 0
+            seq_syms = backend.decode_stream_ll("seq", cfg.seq, ss.payload,
+                                                ss.lane_lens, ll_mat,
+                                                scounts, S)
+            qual_syms = backend.decode_stream_ll("qual", qgeom, qs.payload,
+                                                 qs.lane_lens, ll_mat,
+                                                 scounts, S)
+        else:
+            _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
+            seq_syms = backend.decode_stream("seq", cfg.seq, ss.payload,
+                                             ss.lane_lens, scounts, S,
+                                             pos=pos, reset=reset)
+            qual_syms = backend.decode_stream("qual", qgeom, qs.payload,
+                                              qs.lane_lens, scounts, S,
+                                              pos=pos, reset=reset)
+        base_map = np.zeros(256, dtype=np.uint8)
+        base_map[:4] = _CODE_TO_BASE
+        seq_bytes = native.unpack_lanes(seq_syms & 3, lengths, W,
+                                        rec_starts, total, map256=base_map)
+        qual_bytes = native.unpack_lanes(qual_syms, lengths, W, rec_starts,
+                                         total, bias=blk.minq)
 
-    # lane matrices -> record-major flat buffers (C++ unpack)
-    rec_starts = np.zeros(n, dtype=np.int64)
-    rec_starts[1:] = np.cumsum(lengths[:-1])
-    total = int(lengths.sum())
-    base_map = np.zeros(256, dtype=np.uint8)
-    base_map[:4] = _CODE_TO_BASE
-    seq_bytes = native.unpack_lanes(seq_syms & 3, lengths, W, rec_starts,
-                                    total, map256=base_map)
+    return (n, prev_step, lengths, flags, idd_lanes, idx_lanes, sx_lanes,
+            rec_starts, seq_bytes, qual_bytes)
+
+
+def decode_block_finish(inter, cfg: CodecConfig) -> memoryview | bytes:
+    """Host half of block decode: ID chain decode, SEQX patch, FASTQ
+    assembly. Returns a bytes-like (memoryview, zero-copy)."""
+    if inter is None:
+        return b""
+    (n, prev_step, lengths, flags, idd_lanes, idx_lanes, sx_lanes,
+     rec_starts, seq_bytes, qual_bytes) = inter
+    ida, ioff, ilen, pla, poff, plen = native.ids_decode(
+        n, cfg.aux_lanes, flags, idd_lanes, idx_lanes, prev_step)
     native.seqx_apply(sx_lanes, cfg.fmt, n, rec_starts, lengths, seq_bytes)
-    qual_bytes = native.unpack_lanes(qual_syms, lengths, W, rec_starts,
-                                     total, bias=blk.minq)
-
     return native.fastq_assemble(
         n, ida, ioff, ilen,
         np.ascontiguousarray(seq_bytes), rec_starts,
         np.ascontiguousarray(qual_bytes), lengths,
         pla, poff, plen)
+
+
+def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
+                      backend) -> memoryview | bytes:
+    """Decode one block straight to FASTQ bytes (native assembly)."""
+    return decode_block_finish(decode_block_device(blk, cfg, backend), cfg)
