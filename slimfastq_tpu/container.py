@@ -93,9 +93,15 @@ def _read_u32_array(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
 
 
 def write_header(f: BinaryIO, cfg: CodecConfig) -> None:
+    # The written version must match the stream rules the encoder applies
+    # (pipeline keys the ID/LEN delta baseline off cfg.fmt): encoding
+    # with a cfg read from an old container keeps that container's rules
+    # and stamps its version. cfg.fmt<=2 (including 1) encodes v2 streams
+    # with v2 framing — stream emission is identical for v1/v2 cfgs.
+    ver = VERSION if cfg.fmt >= 3 else 2
     hdr = bytearray()
     hdr += MAGIC
-    hdr += struct.pack("<HBBIII", VERSION, cfg.level, 0,
+    hdr += struct.pack("<HBBIII", ver, cfg.level, 0,
                        cfg.lanes, cfg.aux_lanes, cfg.block_records)
     q, s, b, fl = cfg.qual, cfg.seq, cfg.bytes_, cfg.flags
     hdr += struct.pack("<12B", q.depth, q.q2_bits, q.delta_bits, q.pos_bits,

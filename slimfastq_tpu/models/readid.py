@@ -118,16 +118,14 @@ def encode_record_id(prev: bytes | None, cur: bytes,
     if prev is not None:
         deltas = try_delta(prev, cur)
         if deltas is not None:
-            pt = tokenize(prev)
             di = 0
-            for is_d, tok in pt:
+            for is_d, tok in tokenize(prev):
                 if not is_d:
                     continue
-                d = deltas[di]
-                if _digit_value(tok) is None:
-                    put_svarint(delta_out, 0)  # opaque: decoder ignores
+                if len(tok) > MAX_DIGITS:   # opaque: decoder ignores
+                    put_svarint(delta_out, 0)
                 else:
-                    put_svarint(delta_out, d - delta_bias)
+                    put_svarint(delta_out, deltas[di] - delta_bias)
                 di += 1
             return 0
     put_varint(exc_out, len(cur))

@@ -675,7 +675,9 @@ int64_t ids_decode(int64_t n, int64_t wa, int64_t prev_step,
         }
         // phase 2: every lane's remaining chain is independent
         int64_t bad = 0;
+#if defined(_OPENMP) && _OPENMP >= 201107
 #pragma omp parallel for schedule(dynamic, 1) reduction(min:bad)
+#endif
         for (int64_t w = 0; w < head; w++) {
             // thread-local state copy: adjacent LaneSt entries share
             // cache lines and are updated per record — in-place use

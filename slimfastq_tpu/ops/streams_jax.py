@@ -732,10 +732,12 @@ def encode_seq_qual_raw(seq_geom, qual_geom, data: np.ndarray,
                         seq_offs: np.ndarray, qual_offs: np.ndarray,
                         lengths: np.ndarray, W: int, seq_map: np.ndarray,
                         qual_bias: int, ll_mat: np.ndarray,
-                        counts: np.ndarray):
+                        counts: np.ndarray, padded: bool = False):
     """Encode the SEQ and QUAL streams from raw block bytes with
     on-device lane packing. Returns {"SEQ": (payload, lens), "QUAL": ...}
-    byte-identical to encode_stream_ll on host-packed matrices."""
+    byte-identical to encode_stream_ll on host-packed matrices.
+    padded=True: `data` is already zero-padded to a pack_jax.pad_flat
+    boundary (so a pipelined caller pays the pad copy in its host half)."""
     from . import pack_jax
     from ..utils.stats import trace
     counts = np.asarray(counts)
@@ -744,9 +746,12 @@ def encode_seq_qual_raw(seq_geom, qual_geom, data: np.ndarray,
     if Sp == 0 or not (counts > 0).any():
         z = (np.zeros((W, 0), dtype=np.uint8), np.zeros(W, dtype=np.int64))
         return {"SEQ": z, "QUAL": (z[0].copy(), z[1].copy())}
-    Dp = pack_jax.pad_flat(len(data))
-    dpad = np.zeros(Dp, dtype=np.uint8)
-    dpad[: len(data)] = data
+    if padded and len(data) == pack_jax.pad_flat(len(data)):
+        dpad = data
+    else:
+        Dp = pack_jax.pad_flat(len(data))
+        dpad = np.zeros(Dp, dtype=np.uint8)
+        dpad[: len(data)] = data
     data_dev = jax.device_put(dpad)
     with trace("sfq.encode.pack_pair"):
         seq_syms, qual_syms = pack_jax.pack_pair_device(

@@ -17,8 +17,6 @@ from .pipeline import (STREAMS, EncodedBlock, EncodedStream,
 from .utils.bits import get_varint, put_varint
 from .ops import streams_np
 
-U32 = np.uint32
-
 # device-side byte<->symbol maps (full 256-entry tables, gather-friendly):
 # encode maps non-ACGT to symbol 0 (the SEQX stream patches them back on
 # decode); decode maps any symbol byte through its low 2 bits
@@ -167,21 +165,31 @@ def prepare_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
     split so a pipelined caller can prep block k+1 while block k is on
     the device (both halves release the GIL in their hot parts)."""
     ll_capable = hasattr(backend, "encode_stream_ll")
-    raw_capable = (hi > lo and hasattr(backend, "encode_seq_qual_raw")
-                   and native.available())
+    raw_capable = hi > lo and hasattr(backend, "encode_seq_qual_raw") \
+        and native.available()
+    if raw_capable:
+        # device offsets are int32: blocks whose raw byte span exceeds
+        # 2 GiB (possible only with raised block_records x very long
+        # reads) take the host-pack path instead of silently wrapping
+        base = int(idx["id_off"][lo]) - 1  # the record's '@'
+        last = hi - 1
+        end = int(idx["qual_off"][last] + idx["qual_len"][last])
+        raw_capable = (end - base) < (1 << 31)
     jobs, n, minq, qual_depth, ll_mat = stream_jobs_fast(
         data, idx, lo, hi, cfg, want_pos_reset=not ll_capable,
         device_pack=raw_capable)
     raw_args = None
     if raw_capable:
-        # the block's raw byte range ships to the device once; offsets
+        # the block's raw byte range ships to the device once (padded to
+        # the shape bucket HERE, in the pipelined host half); offsets
         # become block-local
+        from .ops import pack_jax
         sl = slice(lo, hi)
         lengths = idx["seq_len"][sl].astype(np.int64)
-        base = int(idx["id_off"][lo]) - 1  # the record's '@'
-        last = hi - 1
-        end = int(idx["qual_off"][last] + idx["qual_len"][last])
-        raw_args = (data[base:end], idx["seq_off"][sl] - base,
+        span = end - base
+        dpad = np.zeros(pack_jax.pad_flat(span), dtype=np.uint8)
+        dpad[:span] = data[base:end]
+        raw_args = (dpad, idx["seq_off"][sl] - base,
                     idx["qual_off"][sl] - base, lengths)
     return (jobs, n, minq, qual_depth, ll_mat, raw_args, ll_capable)
 
@@ -196,7 +204,7 @@ def encode_prepared_block(pre, cfg: CodecConfig, backend) -> EncodedBlock:
         raw_out = backend.encode_seq_qual_raw(
             jobs["SEQ"][1], jobs["QUAL"][1], blk_bytes, seq_offs,
             qual_offs, lengths, cfg.lanes, _BASE_TO_CODE_DEV, minq,
-            ll_mat, jobs["SEQ"][3])
+            ll_mat, jobs["SEQ"][3], padded=True)
     streams: dict[str, EncodedStream] = {}
     for name in STREAMS:
         kind, geom, syms, counts, pos, reset = jobs[name]
@@ -280,7 +288,8 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend):
     rec_starts[1:] = np.cumsum(lengths[:-1])
     total = int(lengths.sum())
 
-    if hasattr(backend, "decode_seq_qual_raw") and native.available():
+    if (hasattr(backend, "decode_seq_qual_raw") and native.available()
+            and total < (1 << 31)):   # int32 device offsets (see encode)
         # device-raw path: decode + lane-unpack on device, d2h two flat
         # record-major buffers (no [S, W] matrices on the host)
         ll_mat = _lane_lengths_matrix(lengths, W)

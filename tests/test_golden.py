@@ -126,3 +126,21 @@ def test_frozen_constants():
     assert (R.RENORM_ITERS, R.FLUSH_BYTES, R.STEP_BUCKET) == (4, 4, 256)
     assert (R.CAP_LOG2, R.CNT_SHIFT) == (4, 22)
     assert container.VERSION == 3
+
+
+def test_reencode_with_legacy_cfg_stamps_matching_version():
+    """Encoding with a cfg read from an old container must stamp that
+    container's stream rules' version, not blindly the current VERSION —
+    a header/stream-rule mismatch decoded to silently wrong records
+    (round-2 review finding, reproduced before the fix)."""
+    from slimfastq_tpu.utils.synth import synth_fastq
+    v2 = _read("golden_v2_l3.sfq")
+    cfg2 = container.read_header(io.BytesIO(v2))
+    assert cfg2.fmt == 2
+    d = synth_fastq(200, read_len=40, seed=5, var_len=True)
+    enc = encode_fastq(d, cfg=cfg2)
+    assert container.read_header(io.BytesIO(enc)).fmt == 2
+    assert decode_fastq(enc, use_native=False) == d
+    from slimfastq_tpu import native
+    if native.available():
+        assert decode_fastq(enc, use_native=True) == d
