@@ -23,24 +23,11 @@ from . import mesh as pmesh
 
 
 def _blocks_jobs(data: bytes, cfg: CodecConfig):
-    """Host-side modeling for every block. Returns (list of job-dicts,
-    list of (n, minq, qual_depth)). Uses the native (C++/vectorised) job
-    builder when available — the same host prep as the sequential API, so
-    sharded and sequential paths share one implementation."""
+    """Host-side modeling for every block (pure-Python fallback when the
+    native extension is unavailable). Returns (list of job-dicts, list of
+    (n, minq, qual_depth))."""
     all_jobs = []
     metas = []
-    if native.available():
-        import numpy as np
-        from ..pipeline_native import stream_jobs_fast
-        buf = np.frombuffer(data, dtype=np.uint8)
-        idx, n = native.fastq_index(data)
-        for lo in range(0, max(n, 1), cfg.block_records):
-            hi = min(lo + cfg.block_records, n)
-            jobs, nb, minq, qd, _ll = stream_jobs_fast(buf, idx, lo, hi,
-                                                       cfg)
-            all_jobs.append(jobs)
-            metas.append((nb, minq, qd))
-        return all_jobs, metas
     batch = parse_fastq_bytes(data)
     n = len(batch)
     for lo in range(0, max(n, 1), cfg.block_records):
@@ -52,6 +39,102 @@ def _blocks_jobs(data: bytes, cfg: CodecConfig):
     return all_jobs, metas
 
 
+def _encode_sharded_native(data: bytes, cfg: CodecConfig, mesh) -> bytes:
+    """Native-host-prep sharded encode: SEQ+QUAL take the device-raw path
+    (on-device lane pack, vmapped + sharded over the mesh — the
+    multi-device twin of the single-chip pipeline_native raw path); the
+    aux streams batch over the mesh as before. Byte-identical to the
+    sequential ``api.encode_fastq``."""
+    from ..ops import streams_jax
+    from ..pipeline_native import _BASE_TO_CODE_DEV, prepare_block_fast
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    idx, n = native.fastq_index(data)
+    pres = []
+    for lo in range(0, max(n, 1), cfg.block_records):
+        hi = min(lo + cfg.block_records, n)
+        pres.append(prepare_block_fast(buf, idx, lo, hi, cfg,
+                                       streams_jax))
+    B = len(pres)
+    results: list[dict[str, EncodedStream]] = [dict() for _ in range(B)]
+
+    # SEQ + QUAL: device-raw sharded encode for raw-capable blocks
+    raw_idx = [b for b in range(B) if pres[b][5] is not None]
+    raw_out = pmesh.encode_seq_qual_raw_blocks(
+        cfg.seq, mesh,
+        [pres[b][5] for b in raw_idx],
+        [np.asarray(pres[b][0]["SEQ"][3]) for b in raw_idx],
+        [pres[b][0]["QUAL"][1] for b in raw_idx],
+        [pres[b][2] for b in raw_idx],
+        _BASE_TO_CODE_DEV)
+    for i, b in enumerate(raw_idx):
+        for name in ("SEQ", "QUAL"):
+            payload, lens = raw_out[i][name]
+            counts = np.asarray(pres[b][0][name][3]).astype(np.int64)
+            results[b][name] = EncodedStream(counts, lens, payload)
+    # blocks without a raw path (empty, or raw span >= 2 GiB): the
+    # sequential ll-path, shared with encode_prepared_block
+    for b in range(B):
+        if pres[b][5] is None:
+            jobs, ll_mat = pres[b][0], pres[b][4]
+            for name in ("SEQ", "QUAL"):
+                kind, geom, syms, counts, _pos, _reset = jobs[name]
+                payload, lens = streams_jax.encode_stream_ll(
+                    kind, geom, syms, ll_mat, counts)
+                results[b][name] = EncodedStream(
+                    np.asarray(counts).astype(np.int64), lens, payload)
+
+    # aux streams: batch across blocks and run sharded (as before)
+    all_jobs = [pres[b][0] for b in range(B)]
+    for name in STREAMS:
+        if name not in ("SEQ", "QUAL"):
+            _encode_stream_groups(name, all_jobs, results, mesh)
+
+    out = io.BytesIO()
+    container.write_header(out, cfg)
+    offsets = []
+    for b in range(B):
+        nb, minq, qd = pres[b][1], pres[b][2], pres[b][3]
+        blk = EncodedBlock(nb, minq, qd, results[b])
+        offsets.append(container.write_block(out, blk))
+    container.write_index(out, offsets)
+    return out.getvalue()
+
+
+def _encode_stream_groups(name, all_jobs, results, mesh):
+    """Batch one stream across blocks (grouped by geometry) and encode it
+    sharded over the mesh, filling results[b][name]."""
+    kinds = [jb[name] for jb in all_jobs]
+    kind = kinds[0][0]
+    groups: dict[object, list[int]] = {}
+    for b, (k, g, *_rest) in enumerate(kinds):
+        groups.setdefault(g, []).append(b)
+    for g, idxs in groups.items():
+        syms_l = [kinds[b][2] for b in idxs]
+        counts_l = [np.asarray(kinds[b][3]) for b in idxs]
+        pos_l = [kinds[b][4] for b in idxs]
+        reset_l = [kinds[b][5] for b in idxs]
+        nonempty = [i for i, b in enumerate(idxs)
+                    if syms_l[i].shape[0] > 0
+                    and (counts_l[i] > 0).any()]
+        enc = pmesh.encode_stream_blocks(
+            kind, g, mesh,
+            [syms_l[i] for i in nonempty],
+            [counts_l[i] for i in nonempty],
+            [pos_l[i] for i in nonempty],
+            [reset_l[i] for i in nonempty])
+        it = iter(enc)
+        for i, b in enumerate(idxs):
+            if i in nonempty:
+                payload, lens = next(it)
+            else:
+                W = syms_l[i].shape[1]
+                payload = np.zeros((W, 0), dtype=np.uint8)
+                lens = np.zeros(W, dtype=np.int64)
+            results[b][name] = EncodedStream(
+                counts_l[i].astype(np.int64), lens, payload)
+
+
 def encode_fastq_sharded(data: bytes, cfg: CodecConfig,
                          mesh=None) -> bytes:
     """Encode a FASTQ buffer with blocks sharded across the mesh devices.
@@ -60,42 +143,16 @@ def encode_fastq_sharded(data: bytes, cfg: CodecConfig,
     the same config.
     """
     mesh = mesh or pmesh.make_mesh()
+    if native.available():
+        return _encode_sharded_native(data, cfg, mesh)
     all_jobs, metas = _blocks_jobs(data, cfg)
     B = len(all_jobs)
 
-    # batch each stream across blocks and run sharded
+    # batch each stream across blocks and run sharded (qual depth can
+    # vary per block: _encode_stream_groups groups by geometry)
     results: list[dict[str, EncodedStream]] = [dict() for _ in range(B)]
     for name in STREAMS:
-        kinds = [jb[name] for jb in all_jobs]
-        kind, geom = kinds[0][0], kinds[0][1]
-        # qual depth can vary per block (6 vs 7): group by geometry
-        groups: dict[object, list[int]] = {}
-        for b, (k, g, *_rest) in enumerate(kinds):
-            groups.setdefault(g, []).append(b)
-        for g, idxs in groups.items():
-            syms_l = [kinds[b][2] for b in idxs]
-            counts_l = [np.asarray(kinds[b][3]) for b in idxs]
-            pos_l = [kinds[b][4] for b in idxs]
-            reset_l = [kinds[b][5] for b in idxs]
-            nonempty = [i for i, b in enumerate(idxs)
-                        if syms_l[i].shape[0] > 0
-                        and (counts_l[i] > 0).any()]
-            enc = pmesh.encode_stream_blocks(
-                kind, g, mesh,
-                [syms_l[i] for i in nonempty],
-                [counts_l[i] for i in nonempty],
-                [pos_l[i] for i in nonempty],
-                [reset_l[i] for i in nonempty])
-            it = iter(enc)
-            for i, b in enumerate(idxs):
-                if i in nonempty:
-                    payload, lens = next(it)
-                else:
-                    W = syms_l[i].shape[1]
-                    payload = np.zeros((W, 0), dtype=np.uint8)
-                    lens = np.zeros(W, dtype=np.int64)
-                results[b][name] = EncodedStream(
-                    counts_l[i].astype(np.int64), lens, payload)
+        _encode_stream_groups(name, all_jobs, results, mesh)
 
     out = io.BytesIO()
     container.write_header(out, cfg)
@@ -108,12 +165,73 @@ def encode_fastq_sharded(data: bytes, cfg: CodecConfig,
     return out.getvalue()
 
 
+def _decode_sharded_native(data: bytes, mesh) -> bytes:
+    """Native sharded decode: aux streams + host finish run per block via
+    the pipeline_native fast path; SEQ+QUAL decode and lane unpack are
+    batched, vmapped and sharded over the mesh (on-device scatter to
+    record-major buffers). Byte-identical to sequential decode."""
+    from dataclasses import replace
+
+    from ..ops import streams_jax
+    from ..pipeline import _lane_lengths_matrix
+    from ..pipeline_native import (_CODE_TO_BASE_FULL, decode_block_device,
+                                   decode_block_finish)
+
+    f = io.BytesIO(data)
+    cfg = container.read_header(f)
+    blocks = list(container.iter_blocks(f, cfg))
+    if not blocks:
+        return b""
+    W = cfg.lanes
+
+    # 1. aux halves per block (LEN/FLAG/IDD/IDX/SEQX; recovers lengths)
+    inters = [decode_block_device(blk, cfg, streams_jax,
+                                  skip_seq_qual=True) for blk in blocks]
+
+    # 2. SEQ+QUAL: batched device decode + unpack
+    live = [b for b, it in enumerate(inters) if it is not None]
+    pay_s = [blocks[b].streams["SEQ"].payload for b in live]
+    lens_s = [blocks[b].streams["SEQ"].lane_lens for b in live]
+    pay_q = [blocks[b].streams["QUAL"].payload for b in live]
+    lens_q = [blocks[b].streams["QUAL"].lane_lens for b in live]
+    ll_list, counts_list, starts_list, lengths_list, totals = \
+        [], [], [], [], []
+    for b in live:
+        lengths = inters[b][2]
+        ll = _lane_lengths_matrix(lengths, W)
+        ll_list.append(ll)
+        counts_list.append(ll.sum(axis=0))
+        starts_list.append(inters[b][7])
+        lengths_list.append(lengths)
+        totals.append(int(lengths.sum()))
+    qgeoms = [replace(cfg.qual, depth=blocks[b].qual_depth) for b in live]
+    minqs = [blocks[b].minq for b in live]
+    sq = pmesh.decode_seq_qual_raw_blocks(
+        cfg.seq, mesh, pay_s, lens_s, pay_q, lens_q, ll_list,
+        counts_list, starts_list, lengths_list, totals, qgeoms, minqs,
+        _CODE_TO_BASE_FULL)
+
+    # 3. host finish per block with the batched results patched in
+    parts = []
+    it = iter(sq)
+    for b, inter in enumerate(inters):
+        if inter is None:
+            parts.append(decode_block_finish(None, cfg))
+            continue
+        seq_bytes, qual_bytes = next(it)
+        parts.append(decode_block_finish(
+            inter[:8] + (seq_bytes, qual_bytes), cfg))
+    return b"".join(parts)
+
+
 def decode_fastq_sharded(data: bytes, mesh=None) -> bytes:
     """Decode a container with the heavy per-read streams (SEQ/QUAL) of all
     blocks decoded data-parallel across the mesh; aux streams and text
     assembly stay per-block on the host. Byte-identical to sequential
     decode."""
     mesh = mesh or pmesh.make_mesh()
+    if native.available():
+        return _decode_sharded_native(data, mesh)
     f = io.BytesIO(data)
     cfg = container.read_header(f)
     blocks = list(container.iter_blocks(f, cfg))

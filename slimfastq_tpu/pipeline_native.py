@@ -227,12 +227,16 @@ def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         prepare_block_fast(data, idx, lo, hi, cfg, backend), cfg, backend)
 
 
-def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend):
+def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
+                        skip_seq_qual: bool = False):
     """Device half of block decode: entropy-decode all seven streams and
     lane-unpack SEQ/QUAL to record-major byte buffers. Returns an opaque
     intermediate for decode_block_finish (the host-heavy half: ID chain
     decode, SEQX patch, FASTQ assembly) — split so a pipelined caller
-    can overlap block k's host finish with block k+1's device work."""
+    can overlap block k's host finish with block k+1's device work.
+    skip_seq_qual=True decodes only the aux streams (the sharded driver
+    batches SEQ/QUAL across blocks) — the intermediate carries None in
+    the seq/qual byte slots and the caller patches them in."""
     n = blk.num_records
     W, Wa = cfg.lanes, cfg.aux_lanes
     if n == 0:
@@ -287,6 +291,10 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend):
     rec_starts = np.zeros(n, dtype=np.int64)
     rec_starts[1:] = np.cumsum(lengths[:-1])
     total = int(lengths.sum())
+
+    if skip_seq_qual:
+        return (n, prev_step, lengths, flags, idd_lanes, idx_lanes,
+                sx_lanes, rec_starts, None, None)
 
     if (hasattr(backend, "decode_seq_qual_raw") and native.available()
             and total < (1 << 31)):   # int32 device offsets (see encode)

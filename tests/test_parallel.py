@@ -95,6 +95,33 @@ def test_sharded_file_partial_last_block_byte_identical(mesh8):
     assert shd == seq
 
 
+def test_sharded_file_mixed_qual_depth_and_minq(mesh8):
+    """Blocks with different per-block qual depth (6 vs 7 bit) and minq
+    must encode byte-identically to sequential through the device-raw
+    sharded path (per-block qual bias is a vmapped input; depth groups
+    compile separately)."""
+    from slimfastq_tpu.api import decode_fastq, encode_fastq
+    from slimfastq_tpu.parallel.sharded import encode_fastq_sharded
+    rng = np.random.default_rng(7)
+    recs = []
+    for r in range(96):
+        L = int(rng.integers(20, 50))
+        seq = bytes(rng.choice(list(b"ACGT"), size=L).astype(np.uint8))
+        if r < 48:  # block 0: narrow range (depth 6, minq '#')
+            qual = bytes((35 + rng.integers(0, 40, size=L))
+                         .astype(np.uint8))
+        else:       # block 1: wide range (depth 7, different minq)
+            qual = bytes((33 + rng.integers(0, 90, size=L))
+                         .astype(np.uint8))
+        recs.append(b"@r%d\n%s\n+\n%s\n" % (r, seq, qual))
+    data = b"".join(recs)
+    cfg = config_for_level(2, lanes=16, aux_lanes=8, block_records=48)
+    seq_bytes = encode_fastq(data, cfg=cfg, use_native=False)
+    shd = encode_fastq_sharded(data, cfg, mesh=mesh8)
+    assert shd == seq_bytes
+    assert decode_fastq(shd) == data
+
+
 def test_sharded_decode_roundtrip(mesh8):
     cfg, syms_l, counts_l, pos_l, reset_l, steps_l = _make_qual_blocks(
         5, 32, 16, seed=3)  # 5 blocks: exercises padding to mesh size
