@@ -164,8 +164,7 @@ def _block_body(blk: EncodedBlock) -> bytes:
         if lens.size and maxlen:
             from . import native
             if native.available():
-                body.write(native.ragged_pack_rows(es.payload,
-                                                   lens).tobytes())
+                body.write(native.ragged_pack_rows(es.payload, lens))
             else:
                 mask = np.arange(maxlen)[None, :] < lens[:, None]
                 body.write(es.payload[mask].tobytes())

@@ -18,6 +18,51 @@
 #ifdef _OPENMP
 #include <omp.h>
 #endif
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
+// ---------------------------------------------------------------------------
+// newline scan helpers: count + fill positions, SIMD where available.
+// memchr-per-line costs a call per ~25-100 byte line; the movemask form
+// processes 32 bytes per iteration (measured 5.1 -> ~1.3 ms per 15.6 MB).
+// ---------------------------------------------------------------------------
+static int64_t count_nl(const uint8_t* p, int64_t len) {
+    int64_t cnt = 0;
+    int64_t i = 0;
+#ifdef __AVX2__
+    const __m256i nlv = _mm256_set1_epi8('\n');
+    for (; i + 32 <= len; i += 32) {
+        __m256i v = _mm256_loadu_si256((const __m256i*)(p + i));
+        uint32_t m = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(v, nlv));
+        cnt += __builtin_popcount(m);
+    }
+#endif
+    for (; i < len; i++) cnt += (p[i] == '\n');
+    return cnt;
+}
+
+static int64_t fill_nl(const uint8_t* p, int64_t len, int64_t base,
+                       int64_t* out) {
+    int64_t k = 0;
+    int64_t i = 0;
+#ifdef __AVX2__
+    const __m256i nlv = _mm256_set1_epi8('\n');
+    for (; i + 32 <= len; i += 32) {
+        __m256i v = _mm256_loadu_si256((const __m256i*)(p + i));
+        uint32_t m = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(v, nlv));
+        while (m) {
+            out[k++] = base + i + __builtin_ctz(m);
+            m &= m - 1;
+        }
+    }
+#endif
+    for (; i < len; i++)
+        if (p[i] == '\n') out[k++] = base + i;
+    return k;
+}
 
 extern "C" {
 
@@ -35,39 +80,29 @@ int64_t fastq_index(const uint8_t* data, int64_t n,
                     int64_t* qual_off, int64_t* qual_len,
                     int64_t* err_pos) {
     if (n == 0) return 0;
-    // pass 1: newline positions, chunk-parallel (memchr per chunk), then
-    // stitched by a prefix over per-chunk counts
+    // pass 1: newline positions, chunk-parallel SIMD count then direct
+    // fill into the stitched array (no per-chunk vectors)
     int nt = 1;
 #ifdef _OPENMP
     nt = omp_get_max_threads();
 #endif
     if (n < (1 << 20)) nt = 1;
-    std::vector<std::vector<int64_t>> nls(nt);
+    std::vector<int64_t> base(nt + 1, 0);
     int64_t per = (n + nt - 1) / nt;
 #pragma omp parallel for schedule(static, 1) num_threads(nt)
     for (int t = 0; t < nt; t++) {
         int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
-        std::vector<int64_t>& v = nls[t];
-        v.reserve((size_t)((hi - lo) / 32 + 8));
-        const uint8_t* p = data + lo;
-        const uint8_t* end = data + hi;
-        while (p < end) {
-            const uint8_t* nl = (const uint8_t*)memchr(p, '\n', end - p);
-            if (!nl) break;
-            v.push_back(nl - data);
-            p = nl + 1;
-        }
+        base[t + 1] = (hi > lo) ? count_nl(data + lo, hi - lo) : 0;
     }
-    std::vector<int64_t> base(nt + 1, 0);
-    for (int t = 0; t < nt; t++)
-        base[t + 1] = base[t] + (int64_t)nls[t].size();
+    for (int t = 0; t < nt; t++) base[t + 1] += base[t];
     int64_t m = base[nt];
     std::vector<int64_t> nl(m);
 #pragma omp parallel for schedule(static, 1) num_threads(nt)
-    for (int t = 0; t < nt; t++)
-        if (!nls[t].empty())
-            memcpy(nl.data() + base[t], nls[t].data(),
-                   nls[t].size() * sizeof(int64_t));
+    for (int t = 0; t < nt; t++) {
+        int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+        if (hi > lo)
+            fill_nl(data + lo, hi - lo, lo, nl.data() + base[t]);
+    }
     // structural checks: 4 lines per record, file ends with a newline
     int64_t r_total = m / 4;
     if (m % 4 != 0 || m == 0 || nl[m - 1] != n - 1) {
@@ -291,6 +326,46 @@ static bool digit_value(const uint8_t* s, int64_t len, int64_t& v) {
     return true;
 }
 
+// Token with cached numeric value (vok = digit run of <= MAX_DIGITS,
+// val = its parsed value). Caching values along a delta chain avoids
+// re-parsing the previous ID's digits for every record.
+struct TokV { bool digit; bool vok; int32_t off, len; int64_t val; };
+
+static void tokenize_v(const uint8_t* s, int64_t n, int64_t from,
+                       std::vector<TokV>& toks) {
+    int64_t i = from;
+    while (i < n) {
+        bool d = s[i] >= '0' && s[i] <= '9';
+        int64_t j = i + 1;
+        while (j < n && ((s[j] >= '0' && s[j] <= '9') == d)) j++;
+        TokV t;
+        t.digit = d;
+        t.off = (int32_t)i;
+        t.len = (int32_t)(j - i);
+        t.vok = false;
+        t.val = 0;
+        if (d) t.vok = digit_value(s + i, j - i, t.val);
+        toks.push_back(t);
+        i = j;
+    }
+}
+
+// length of the common byte prefix of two buffers
+static int64_t common_prefix(const uint8_t* a, const uint8_t* b,
+                             int64_t n) {
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t x, y;
+        memcpy(&x, a + i, 8);
+        memcpy(&y, b + i, 8);
+        if (x != y)
+            return i + (__builtin_ctzll(x ^ y) >> 3);
+    }
+    for (; i < n; i++)
+        if (a[i] != b[i]) return i;
+    return n;
+}
+
 // render value in prev token's format into out; returns rendered length or
 // -1 if it cannot match
 static int64_t render(const uint8_t* prev_tok, int64_t prev_len,
@@ -334,104 +409,129 @@ static int64_t render(const uint8_t* prev_tok, int64_t prev_len,
 // delta against the globally previous record r-1 (bias 0), so a small
 // file does not pay `stride` absolute head IDs — decode mirrors with a
 // short serial prologue before going lane-parallel.
+// fdiv: flags for record r are written at flags_out + 3 * (r / fdiv) —
+// fdiv=1 writes the global flags array directly (v1/v2 contiguous record
+// ranges), fdiv=stride writes a lane-LOCAL flags buffer indexed by chain
+// position (v3: adjacent records belong to different lanes/threads, so
+// direct global writes false-share every cache line across all cores).
 static void ids_encode_range(const uint8_t* data,
                              const int64_t* id_off, const int64_t* id_len,
                              const int64_t* plus_off,
                              const int64_t* plus_len,
                              int64_t lo, int64_t hi, int64_t stride,
-                             int64_t wa,
+                             int64_t wa, int64_t fdiv,
                              uint8_t* flags_out,
                              std::vector<std::vector<uint8_t>>& dbuf,
                              std::vector<std::vector<uint8_t>>& xbuf) {
     if (lo >= hi) return;  // empty lane (fewer records than lanes)
-    std::vector<Tok> pt, ct;
-    std::vector<uint8_t> tmp;  // hoisted: per-record alloc churn was ~2x
+    std::vector<TokV> pt, ct;
+    const uint8_t* prev = nullptr;
+    int64_t pn = 0;
     {
         int64_t p0 = (lo >= stride) ? lo - stride : lo - 1;
-        if (p0 >= 0)
-            tokenize(data + id_off[p0], id_len[p0], pt);
+        if (p0 >= 0) {
+            prev = data + id_off[p0];
+            pn = id_len[p0];
+            tokenize_v(prev, pn, 0, pt);
+        }
     }
     for (int64_t r = lo; r < hi; r += stride) {
         int64_t w = r % wa;
         const int64_t dbias = (stride > 1 && r >= stride) ? stride : 0;
-        const int64_t pidx = (r >= stride) ? r - stride : r - 1;
         const uint8_t* cur = data + id_off[r];
         int64_t cn = id_len[r];
+        std::vector<uint8_t>& db = dbuf[w];
+        std::vector<uint8_t>& xb = xbuf[w];
         bool ok = false;
-        // token cache: this record's tokens become `pt` next iteration
-        // (the previous record is always r-stride along this chain),
-        // halving tokenize work
-        tokenize(cur, cn, ct);
-        if (pidx >= 0) {
-            const uint8_t* prev = data + id_off[pidx];
-            tmp.clear();
-            if (pt.size() == ct.size()) {
-                ok = true;
-                for (size_t t = 0; t < pt.size() && ok; t++) {
-                    if (pt[t].digit != ct[t].digit) { ok = false; break; }
-                    if (!pt[t].digit) {
-                        if (pt[t].len != ct[t].len ||
-                            memcmp(prev + pt[t].off, cur + ct[t].off,
-                                   ct[t].len) != 0) ok = false;
+        ct.clear();
+        if (prev) {
+            size_t mark = db.size();
+            // fast path: a token ending strictly inside the common byte
+            // prefix is identical in prev and cur (its boundary byte is
+            // also common), so structure/text/value carry over and a
+            // parseable digit token always passes the width check and
+            // emits the constant zigzag(-dbias); unparseable-but-equal
+            // emits zigzag(0) exactly as the general law below
+            int64_t P = common_prefix(prev, cur, pn < cn ? pn : cn);
+            size_t k = 0;
+            while (k < pt.size()
+                   && (int64_t)pt[k].off + pt[k].len < P) {
+                const TokV& t = pt[k];
+                if (t.digit)
+                    put_varint(db, t.vok ? zigzag(-dbias) : 0);
+                ct.push_back(t);
+                k++;
+            }
+            int64_t q = k ? (int64_t)pt[k - 1].off + pt[k - 1].len : 0;
+            tokenize_v(cur, cn, q, ct);
+            ok = pt.size() == ct.size();
+            for (size_t t = k; t < pt.size() && ok; t++) {
+                if (pt[t].digit != ct[t].digit) { ok = false; break; }
+                if (!pt[t].digit) {
+                    if (pt[t].len != ct[t].len ||
+                        memcmp(prev + pt[t].off, cur + ct[t].off,
+                               ct[t].len) != 0) ok = false;
+                    continue;
+                }
+                if (!pt[t].vok || !ct[t].vok) {
+                    if (pt[t].len == ct[t].len &&
+                        memcmp(prev + pt[t].off, cur + ct[t].off,
+                               ct[t].len) == 0) {
+                        put_varint(db, zigzag(0));
                         continue;
                     }
-                    int64_t pv, cv;
-                    bool pok = digit_value(prev + pt[t].off, pt[t].len, pv);
-                    bool cok = digit_value(cur + ct[t].off, ct[t].len, cv);
-                    if (!pok || !cok) {
-                        if (pt[t].len == ct[t].len &&
-                            memcmp(prev + pt[t].off, cur + ct[t].off,
-                                   ct[t].len) == 0) {
-                            put_varint(tmp, zigzag(0));
-                            continue;
-                        }
-                        ok = false;
-                        break;
-                    }
-                    // re-renderability check without materialising the
-                    // render: cv >= 0 here (digit-run token), and two
-                    // same-length decimal strings with equal value are
-                    // identical, so rendered == ct iff the rendered
-                    // width matches. Mirrors render(): zero-pad to the
-                    // prev token's width when it had a leading zero.
-                    int64_t digits = 1;
-                    for (int64_t v = cv; v >= 10; v /= 10) digits++;
-                    bool zpad = pt[t].len > 1 && prev[pt[t].off] == '0';
-                    int64_t width = (zpad && digits < pt[t].len)
-                        ? pt[t].len : digits;
-                    if (width != ct[t].len) {
-                        ok = false;
-                        break;
-                    }
-                    put_varint(tmp, zigzag(cv - pv - dbias));
+                    ok = false;
+                    break;
                 }
+                // re-renderability check without materialising the
+                // render: cv >= 0 here (digit-run token), and two
+                // same-length decimal strings with equal value are
+                // identical, so rendered == ct iff the rendered
+                // width matches. Mirrors render(): zero-pad to the
+                // prev token's width when it had a leading zero.
+                int64_t cv = ct[t].val;
+                int64_t digits = 1;
+                for (int64_t v = cv; v >= 10; v /= 10) digits++;
+                bool zpad = pt[t].len > 1 && prev[pt[t].off] == '0';
+                int64_t width = (zpad && digits < pt[t].len)
+                    ? pt[t].len : digits;
+                if (width != ct[t].len) {
+                    ok = false;
+                    break;
+                }
+                put_varint(db, zigzag(cv - pt[t].val - dbias));
             }
-        }
-        if (ok) {
-            flags_out[3 * r] = 0;
-            dbuf[w].insert(dbuf[w].end(), tmp.begin(), tmp.end());
+            if (!ok) db.resize(mark);  // discard partial delta emission
         } else {
-            flags_out[3 * r] = 1;
-            put_varint(xbuf[w], (uint64_t)cn);
-            xbuf[w].insert(xbuf[w].end(), cur, cur + cn);
+            tokenize_v(cur, cn, 0, ct);
+        }
+        uint8_t* fo = flags_out + 3 * (r / fdiv);
+        if (ok) {
+            fo[0] = 0;
+        } else {
+            fo[0] = 1;
+            put_varint(xb, (uint64_t)cn);
+            xb.insert(xb.end(), cur, cur + cn);
         }
         // plus line
         const uint8_t* pl = data + plus_off[r];
         int64_t pln = plus_len[r];
         if (pln == 1 && pl[0] == '+') {
-            flags_out[3 * r + 1] = 1;
-            flags_out[3 * r + 2] = 0;
+            fo[1] = 1;
+            fo[2] = 0;
         } else if (pln == cn + 1 && pl[0] == '+' &&
                    memcmp(pl + 1, cur, cn) == 0) {
-            flags_out[3 * r + 1] = 0;
-            flags_out[3 * r + 2] = 1;
+            fo[1] = 0;
+            fo[2] = 1;
         } else {
-            flags_out[3 * r + 1] = 0;
-            flags_out[3 * r + 2] = 0;
-            put_varint(xbuf[w], (uint64_t)pln);
-            xbuf[w].insert(xbuf[w].end(), pl, pl + pln);
+            fo[1] = 0;
+            fo[2] = 0;
+            put_varint(xb, (uint64_t)pln);
+            xb.insert(xb.end(), pl, pl + pln);
         }
         pt.swap(ct);  // cur tokens become prev tokens for record r+1
+        prev = cur;
+        pn = cn;
     }
 }
 
@@ -456,13 +556,21 @@ int64_t ids_encode(const uint8_t* data,
                    uint8_t* exc_arena, int64_t exc_stride,
                    int64_t* exc_sizes) {
     if (prev_step > 1) {
-        // format v3: one independent chain (and one task) per lane
+        // format v3: one independent chain (and one task) per lane.
+        // Flags go to lane-LOCAL buffers (fdiv=wa) and merge in a
+        // contiguous pass afterwards — adjacent records belong to
+        // different lanes, so direct writes false-shared every flag
+        // cache line across all cores (measured: 4-thread encode SLOWER
+        // than 2-thread before this).
+        int64_t rpl = (n + wa - 1) / wa;
+        std::vector<uint8_t> fl(3 * wa * rpl);
         int64_t overflow = 0;
 #pragma omp parallel for schedule(dynamic, 1) reduction(|:overflow)
         for (int64_t w = 0; w < wa; w++) {
             std::vector<std::vector<uint8_t>> db(wa), xb(wa);
             ids_encode_range(data, id_off, id_len, plus_off, plus_len,
-                             w, n, wa, wa, flags_out, db, xb);
+                             w, n, wa, wa, wa,
+                             fl.data() + w * 3 * rpl, db, xb);
             int64_t ds = (int64_t)db[w].size();
             int64_t xs = (int64_t)xb[w].size();
             if (ds > delta_stride || xs > exc_stride) {
@@ -475,7 +583,12 @@ int64_t ids_encode(const uint8_t* data,
             delta_sizes[w] = ds;
             exc_sizes[w] = xs;
         }
-        return overflow ? -1 : 0;
+        if (overflow) return -1;
+#pragma omp parallel for schedule(static)
+        for (int64_t r = 0; r < n; r++)
+            memcpy(flags_out + 3 * r,
+                   fl.data() + ((r % wa) * rpl + r / wa) * 3, 3);
+        return 0;
     }
     int nt = 1;
 #ifdef _OPENMP
@@ -491,7 +604,8 @@ int64_t ids_encode(const uint8_t* data,
         int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
         if (lo < hi)
             ids_encode_range(data, id_off, id_len, plus_off, plus_len,
-                             lo, hi, 1, wa, flags_out, dbufs[t], xbufs[t]);
+                             lo, hi, 1, wa, 1, flags_out, dbufs[t],
+                             xbufs[t]);
     }
     for (int64_t w = 0; w < wa; w++) {
         int64_t doff = 0, xoff = 0;
@@ -528,8 +642,12 @@ struct LaneSt {
 // lane's streams (format v3). Baseline = st.prev (caller-provided for
 // the lane's first record; record r-wa afterwards); numeric deltas are
 // biased by +wa for records r >= wa (see ids_encode_range). Writes IDs
-// into a private arena region (global offsets = base + local). Returns
-// 0, -1 on corrupt streams, -2 on arena overflow (retryable).
+// into a private arena region (global offsets = base + local). The four
+// out arrays are LANE-LOCAL, indexed by chain position r / wa (global
+// strided writes false-shared every cache line across all decode
+// threads); values stored are global arena offsets, merged into the
+// record-order arrays by the caller. Returns 0, -1 on corrupt streams,
+// -2 on arena overflow (retryable).
 static int64_t ids_decode_lane(
         int64_t r_start, int64_t n, int64_t wa, int64_t max_recs,
         const uint8_t* flags,
@@ -539,38 +657,60 @@ static int64_t ids_decode_lane(
         int64_t* out_off, int64_t* out_len,
         uint8_t* parena, int64_t pcap, int64_t pbase,
         int64_t* plus_off, int64_t* plus_len, LaneSt& st) {
-    std::vector<Tok> pt;
+    // Token-structure cache: along a delta chain, the rendered ID's token
+    // list is derivable from the previous one (text bytes copied, digit
+    // runs re-rendered), so tokenize + digit re-parse are needed only at
+    // the chain head, after an exception record, or after a corrupt
+    // stream renders a negative value (whose '-' breaks the digit-run
+    // structure) — in all of which the cache is invalidated and rebuilt
+    // from the actual bytes, exactly matching an uncached decode.
+    std::vector<TokV> pt, nt;
+    bool cached = false;
     int64_t done = 0;
     for (int64_t r = r_start; r < n && done < max_recs; r += wa, done++) {
         const int64_t dbias = (r >= wa) ? wa : 0;
+        const int64_t li = r / wa;   // lane-local output index
+        int64_t rec_off, rec_len;
         if (flags[3 * r] == 0) {
             if (!st.prev) return -1;
-            tokenize(st.prev, st.prev_len, pt);
-            out_off[r] = base + st.used;
+            if (!cached) {
+                pt.clear();
+                tokenize_v(st.prev, st.prev_len, 0, pt);
+            }
+            rec_off = st.used;
             int64_t len = 0;
+            nt.clear();
+            bool structure_ok = true;
             for (auto& t : pt) {
                 if (st.used + len + t.len + 32 > cap) return -2;
                 if (!t.digit) {
                     memcpy(arena + st.used + len, st.prev + t.off, t.len);
+                    nt.push_back({false, false, (int32_t)len, t.len, 0});
                     len += t.len;
                     continue;
                 }
                 uint64_t u;
                 if (!get_varint(dbuf, dsz, st.dpos, u)) return -1;
                 int64_t d = unzigzag(u) + dbias;
-                int64_t pv;
-                if (!digit_value(st.prev + t.off, t.len, pv)) {
+                if (!t.vok) {
                     memcpy(arena + st.used + len, st.prev + t.off, t.len);
+                    nt.push_back({true, false, (int32_t)len, t.len, 0});
                     len += t.len;
                     continue;
                 }
-                int64_t rl = render(st.prev + t.off, t.len, pv + d,
+                int64_t v = t.val + d;
+                int64_t rl = render(st.prev + t.off, t.len, v,
                                     arena + st.used + len, 32);
                 if (rl < 0) return -1;
+                if (v < 0) structure_ok = false;
+                nt.push_back({true, v >= 0 && rl <= MAX_DIGITS,
+                              (int32_t)len, (int32_t)rl, v});
                 len += rl;
             }
-            out_len[r] = len;
+            rec_len = len;
             st.used += len;
+            pt.swap(nt);
+            cached = structure_ok;
         } else {
             uint64_t ln;
             if (!get_varint(xbuf, xsz, st.xpos, ln)) return -1;
@@ -578,25 +718,27 @@ static int64_t ids_decode_lane(
             if (st.used + (int64_t)ln > cap) return -2;
             memcpy(arena + st.used, xbuf + st.xpos, ln);
             st.xpos += ln;
-            out_off[r] = base + st.used;
-            out_len[r] = ln;
+            rec_off = st.used;
+            rec_len = ln;
             st.used += ln;
+            cached = false;  // exception bytes: re-tokenize next record
         }
+        out_off[li] = base + rec_off;
+        out_len[li] = rec_len;
         // plus line
         if (flags[3 * r + 1] == 1) {
             if (st.pused + 1 > pcap) return -2;
             parena[st.pused] = '+';
-            plus_off[r] = pbase + st.pused;
-            plus_len[r] = 1;
+            plus_off[li] = pbase + st.pused;
+            plus_len[li] = 1;
             st.pused += 1;
         } else if (flags[3 * r + 2] == 1) {
-            int64_t ln = out_len[r] + 1;
+            int64_t ln = rec_len + 1;
             if (st.pused + ln > pcap) return -2;
             parena[st.pused] = '+';
-            memcpy(parena + st.pused + 1, arena + (out_off[r] - base),
-                   out_len[r]);
-            plus_off[r] = pbase + st.pused;
-            plus_len[r] = ln;
+            memcpy(parena + st.pused + 1, arena + rec_off, rec_len);
+            plus_off[li] = pbase + st.pused;
+            plus_len[li] = ln;
             st.pused += ln;
         } else {
             uint64_t ln;
@@ -605,12 +747,12 @@ static int64_t ids_decode_lane(
             if (st.pused + (int64_t)ln > pcap) return -2;
             memcpy(parena + st.pused, xbuf + st.xpos, ln);
             st.xpos += ln;
-            plus_off[r] = pbase + st.pused;
-            plus_len[r] = ln;
+            plus_off[li] = pbase + st.pused;
+            plus_len[li] = ln;
             st.pused += ln;
         }
-        st.prev = arena + (out_off[r] - base);
-        st.prev_len = out_len[r];
+        st.prev = arena + rec_off;
+        st.prev_len = rec_len;
     }
     return 0;
 }
@@ -652,6 +794,16 @@ int64_t ids_decode(int64_t n, int64_t wa, int64_t prev_step,
             pbase[w + 1] = pbase[w] + pcap[w];
         }
         if (base[wa] > arena_cap || pbase[wa] > plus_cap) return -2;
+        // lane-local output buffers: ids_decode_lane indexes its out
+        // arrays by chain position r / wa (global strided writes
+        // false-shared every cache line across decode threads); values
+        // are global arena offsets, merged into record order below
+        int64_t rpl = (n + wa - 1) / wa;
+        std::vector<int64_t> lout(4 * wa * rpl);
+        int64_t* lo_off = lout.data();
+        int64_t* lo_len = lo_off + wa * rpl;
+        int64_t* lp_off = lo_len + wa * rpl;
+        int64_t* lp_len = lp_off + wa * rpl;
         // phase 1 (serial prologue): records 0..min(wa,n)-1 delta
         // against the globally previous record r-1 (bias 0)
         int64_t head = n < wa ? n : wa;
@@ -666,12 +818,13 @@ int64_t ids_decode(int64_t n, int64_t wa, int64_t prev_step,
             int64_t rc = ids_decode_lane(
                 w, n, wa, 1, flags, delta_bufs[w], delta_sizes[w],
                 exc_bufs[w], exc_sizes[w],
-                id_arena + base[w], cap[w], base[w], out_off, out_len,
+                id_arena + base[w], cap[w], base[w],
+                lo_off + w * rpl, lo_len + w * rpl,
                 plus_arena + pbase[w], pcap[w], pbase[w],
-                plus_off, plus_len, st[w]);
+                lp_off + w * rpl, lp_len + w * rpl, st[w]);
             if (rc < 0) return rc;
-            gprev = id_arena + out_off[w];
-            gprev_len = out_len[w];
+            gprev = id_arena + lo_off[w * rpl];
+            gprev_len = lo_len[w * rpl];
         }
         // phase 2: every lane's remaining chain is independent
         int64_t bad = 0;
@@ -686,13 +839,23 @@ int64_t ids_decode(int64_t n, int64_t wa, int64_t prev_step,
             int64_t rc = ids_decode_lane(
                 w + wa, n, wa, n, flags, delta_bufs[w], delta_sizes[w],
                 exc_bufs[w], exc_sizes[w],
-                id_arena + base[w], cap[w], base[w], out_off, out_len,
+                id_arena + base[w], cap[w], base[w],
+                lo_off + w * rpl, lo_len + w * rpl,
                 plus_arena + pbase[w], pcap[w], pbase[w],
-                plus_off, plus_len, ls);
+                lp_off + w * rpl, lp_len + w * rpl, ls);
             st[w] = ls;
             if (rc < 0 && rc < bad) bad = rc;
         }
         if (bad < 0) return bad;
+        // merge lane-local chain-order outputs into record order
+#pragma omp parallel for schedule(static)
+        for (int64_t r = 0; r < n; r++) {
+            int64_t k = (r % wa) * rpl + r / wa;
+            out_off[r] = lo_off[k];
+            out_len[r] = lo_len[k];
+            plus_off[r] = lp_off[k];
+            plus_len[r] = lp_len[k];
+        }
         *plus_used_out = pbase[wa];
         return base[wa];
     }
@@ -1073,46 +1236,55 @@ int64_t seqx_encode(const uint8_t* src, const int64_t* offs,
                     const int64_t* lens, int64_t n, int64_t wa,
                     uint8_t* arena, int64_t stride, int64_t* sizes,
                     const int32_t* rec_bad /*optional [n]: skip clean recs*/) {
-    std::vector<std::vector<uint8_t>> bufs(wa);
-    std::vector<int64_t> prev_xrec(wa, -1);
-    for (int64_t r = 0; r < n; r++) {
-        if (rec_bad && rec_bad[r] == 0) continue;
-        const uint8_t* s = src + offs[r];
-        int64_t L = lens[r];
-        int64_t w = r % wa;
-        int64_t ordinal = r / wa;
-        int64_t prev_end = 0;
-        bool first = true;
-        int64_t i = 0;
-        while (i < L) {
-            uint8_t c = s[i];
-            if (c == 'A' || c == 'C' || c == 'G' || c == 'T') { i++; continue; }
-            int64_t st = i;
-            while (i < L && s[i] == c) i++;
-            int64_t ln = i - st;
-            std::vector<uint8_t>& xb = bufs[w];
-            if (first) {
-                put_varint(xb, (uint64_t)(ordinal - prev_xrec[w]));
-                put_varint(xb, (uint64_t)st);
-                first = false;
-            } else {
-                put_varint(xb, 0);
-                put_varint(xb, (uint64_t)(st - prev_end));
-            }
-            put_varint(xb, (uint64_t)(ln - 1));
-            xb.push_back(c);
-            prev_end = st + ln - 1;
-        }
-        if (!first) prev_xrec[w] = ordinal;
-    }
-    int64_t total = 0;
+    // lanes are independent (record r -> lane r % wa, per-lane run state),
+    // so the encode parallelizes per lane, byte-identical to a serial pass
+    int64_t overflow = 0;
+#pragma omp parallel for schedule(dynamic, 1) reduction(|:overflow)
     for (int64_t w = 0; w < wa; w++) {
-        int64_t sz = (int64_t)bufs[w].size();
-        if (sz > stride) return -1;
-        if (sz) memcpy(arena + w * stride, bufs[w].data(), (size_t)sz);
+        std::vector<uint8_t> xb;
+        int64_t prev_xrec = -1;
+        for (int64_t r = w; r < n; r += wa) {
+            if (rec_bad && rec_bad[r] == 0) continue;
+            const uint8_t* s = src + offs[r];
+            int64_t L = lens[r];
+            int64_t ordinal = r / wa;
+            int64_t prev_end = 0;
+            bool first = true;
+            int64_t i = 0;
+            while (i < L) {
+                uint8_t c = s[i];
+                if (c == 'A' || c == 'C' || c == 'G' || c == 'T') {
+                    i++;
+                    continue;
+                }
+                int64_t st = i;
+                while (i < L && s[i] == c) i++;
+                int64_t ln = i - st;
+                if (first) {
+                    put_varint(xb, (uint64_t)(ordinal - prev_xrec));
+                    put_varint(xb, (uint64_t)st);
+                    first = false;
+                } else {
+                    put_varint(xb, 0);
+                    put_varint(xb, (uint64_t)(st - prev_end));
+                }
+                put_varint(xb, (uint64_t)(ln - 1));
+                xb.push_back(c);
+                prev_end = st + ln - 1;
+            }
+            if (!first) prev_xrec = ordinal;
+        }
+        int64_t sz = (int64_t)xb.size();
+        if (sz > stride) {
+            overflow = 1;
+            continue;
+        }
+        if (sz) memcpy(arena + w * stride, xb.data(), (size_t)sz);
         sizes[w] = sz;
-        total += sz;
     }
+    if (overflow) return -1;
+    int64_t total = 0;
+    for (int64_t w = 0; w < wa; w++) total += sizes[w];
     return total;
 }
 

@@ -187,8 +187,11 @@ def prepare_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         sl = slice(lo, hi)
         lengths = idx["seq_len"][sl].astype(np.int64)
         span = end - base
-        dpad = np.zeros(pack_jax.pad_flat(span), dtype=np.uint8)
+        # np.empty + tail-only zero: a full np.zeros pass cost ~1 ms on
+        # a 16 MB block for bytes that are immediately overwritten
+        dpad = np.empty(pack_jax.pad_flat(span), dtype=np.uint8)
         dpad[:span] = data[base:end]
+        dpad[span:] = 0
         raw_args = (dpad, idx["seq_off"][sl] - base,
                     idx["qual_off"][sl] - base, lengths)
     return (jobs, n, minq, qual_depth, ll_mat, raw_args, ll_capable)
@@ -250,10 +253,11 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
         S = int(np.asarray(c).max()) if len(c) else 0
         syms = backend.decode_stream(kind, g, es.payload, es.lane_lens,
                                      c, S, pos=pos, reset=reset)
-        if syms.size:  # one blocked transpose, then cheap contiguous rows
+        if syms.size:  # one blocked transpose, then zero-copy row views
             rows = native.transpose_mat(np.ascontiguousarray(syms))
-            return [rows[w, : c[w]].astype(np.uint8)
-                    for w in range(len(c))]
+            if rows.dtype != np.uint8:  # numpy-oracle backend: one
+                rows = rows.astype(np.uint8)  # whole-matrix downcast
+            return [rows[w, : c[w]] for w in range(len(c))]
         return [np.zeros(0, dtype=np.uint8) for _ in range(len(c))]
 
     prev_step = Wa if cfg.fmt >= 3 else 1  # delta baseline (frozen/fmt)
