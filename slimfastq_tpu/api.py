@@ -108,6 +108,39 @@ def _record_boundary(chunk: bytes) -> int:
     return int(nls[keep_nl - 1]) + 1
 
 
+def iter_block_ranges_native(src: str, cfg: CodecConfig,
+                             chunk_bytes: int = 1 << 28):
+    """Yield (buf, idx, lo, hi) record ranges whose block boundaries are
+    identical to a whole-file encode, while reading `src` in bounded
+    chunks: whole leftover records carry over between chunks as bytes.
+    The shared walk under encode_file_streaming and the sharded
+    streaming encode (parallel/sharded.py)."""
+    carry = b""
+    with open(src, "rb") as f:
+        while True:
+            chunk = carry + f.read(chunk_bytes)
+            if not chunk:
+                break
+            eof = len(chunk) < len(carry) + chunk_bytes
+            cut = len(chunk) if eof else _record_boundary(chunk)
+            data, carry = chunk[:cut], chunk[cut:]
+            if not data:
+                if eof:
+                    break
+                continue
+            buf = np.frombuffer(data, dtype=np.uint8)
+            idx, n = native.fastq_index(data)
+            full = (n // cfg.block_records) * cfg.block_records
+            limit = n if eof else full
+            for lo in range(0, limit, cfg.block_records):
+                yield buf, idx, lo, min(lo + cfg.block_records, limit)
+            if limit < n:
+                start = int(idx["id_off"][limit]) - 1
+                carry = data[start:] + carry
+            if eof:
+                break
+
+
 def encode_file_streaming(src: str, dst: str, level: int = 3,
                           backend=streams_np, chunk_bytes: int = 1 << 28,
                           resume: bool = False, **overrides) -> None:
@@ -127,7 +160,20 @@ def encode_file_streaming(src: str, dst: str, level: int = 3,
         cfg = w.cfg
     else:
         w = container.Writer.create(dst, cfg)
-    use_native = native.available()
+    if native.available():
+        # production path: index + native block pipeline over the shared
+        # bounded-chunk block walk (block boundaries match the
+        # non-streaming encode exactly)
+        from .pipeline_native import encode_block_fast
+        seen = 0
+        for buf, idx, lo, hi in iter_block_ranges_native(src, cfg,
+                                                         chunk_bytes):
+            g_hi = seen + (hi - lo)
+            if g_hi > skip_records:  # else: already in the resumed output
+                w.append(encode_block_fast(buf, idx, lo, hi, cfg, backend))
+            seen = g_hi
+        w.close()
+        return
     carry = b""                  # partial-record and leftover-record bytes
     batch_carry: FastqBatch | None = None   # non-native fallback carry
     seen = 0
@@ -140,28 +186,6 @@ def encode_file_streaming(src: str, dst: str, level: int = 3,
             cut = len(chunk) if eof else _record_boundary(chunk)
             data, carry = chunk[:cut], chunk[cut:]
             if not data:
-                if eof:
-                    break
-                continue
-            if use_native:
-                # production path: index + native block pipeline; whole
-                # leftover records carry over as bytes so every block
-                # boundary matches the non-streaming encode exactly
-                from .pipeline_native import encode_block_fast
-                buf = np.frombuffer(data, dtype=np.uint8)
-                idx, n = native.fastq_index(data)
-                full = (n // cfg.block_records) * cfg.block_records
-                limit = n if eof else full
-                for lo in range(0, limit, cfg.block_records):
-                    hi = min(lo + cfg.block_records, limit)
-                    if seen + hi <= skip_records:
-                        continue  # already in the resumed output
-                    w.append(encode_block_fast(buf, idx, lo, hi, cfg,
-                                               backend))
-                seen += limit
-                if limit < n:
-                    start = int(idx["id_off"][limit]) - 1
-                    carry = data[start:] + carry
                 if eof:
                     break
                 continue

@@ -105,9 +105,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"sfq: {args.output} exists (use -f to overwrite)",
                   file=sys.stderr)
             return 2
-        from .api import decode_file_streaming
         try:
-            decode_file_streaming(args.input, args.output, backend=backend)
+            if args.sharded:
+                from .parallel.sharded import decode_file_streaming_sharded
+                decode_file_streaming_sharded(args.input, args.output)
+            else:
+                from .api import decode_file_streaming
+                decode_file_streaming(args.input, args.output,
+                                      backend=backend)
         except (ValueError, OSError) as e:
             print(f"sfq: {e}", file=sys.stderr)
             return 1
@@ -123,11 +128,17 @@ def main(argv: list[str] | None = None) -> int:
             print(f"sfq: {args.output} exists (use -f to overwrite)",
                   file=sys.stderr)
             return 2
-        from .api import encode_file_streaming
         try:
-            encode_file_streaming(args.input, args.output,
-                                  level=args.level, backend=backend,
-                                  resume=args.resume)
+            if args.sharded:
+                from .parallel.sharded import encode_file_streaming_sharded
+                encode_file_streaming_sharded(args.input, args.output,
+                                              level=args.level,
+                                              resume=args.resume)
+            else:
+                from .api import encode_file_streaming
+                encode_file_streaming(args.input, args.output,
+                                      level=args.level, backend=backend,
+                                      resume=args.resume)
         except ValueError as e:
             print(f"sfq: {e}", file=sys.stderr)
             return 1

@@ -46,7 +46,7 @@ def _encode_sharded_native(data: bytes, cfg: CodecConfig, mesh) -> bytes:
     aux streams batch over the mesh as before. Byte-identical to the
     sequential ``api.encode_fastq``."""
     from ..ops import streams_jax
-    from ..pipeline_native import _BASE_TO_CODE_DEV, prepare_block_fast
+    from ..pipeline_native import prepare_block_fast
 
     buf = np.frombuffer(data, dtype=np.uint8)
     idx, n = native.fastq_index(data)
@@ -55,7 +55,27 @@ def _encode_sharded_native(data: bytes, cfg: CodecConfig, mesh) -> bytes:
         hi = min(lo + cfg.block_records, n)
         pres.append(prepare_block_fast(buf, idx, lo, hi, cfg,
                                        streams_jax))
+    blks = encode_prepared_blocks_sharded(pres, cfg, mesh)
+    out = io.BytesIO()
+    container.write_header(out, cfg)
+    offsets = [container.write_block(out, blk) for blk in blks]
+    container.write_index(out, offsets)
+    return out.getvalue()
+
+
+def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
+                                   mesh) -> list[EncodedBlock]:
+    """Encode a window of prepared blocks (pipeline_native.
+    prepare_block_fast outputs) data-parallel over the mesh. Each
+    returned EncodedBlock is byte-identical to encode_prepared_block on
+    the same prep — the unit both the whole-file sharded encode and the
+    bounded-memory streaming sharded encode build on."""
+    from ..ops import streams_jax
+    from ..pipeline_native import _BASE_TO_CODE_DEV
+
     B = len(pres)
+    if B == 0:
+        return []
     results: list[dict[str, EncodedStream]] = [dict() for _ in range(B)]
 
     # SEQ + QUAL: device-raw sharded encode for raw-capable blocks
@@ -90,15 +110,8 @@ def _encode_sharded_native(data: bytes, cfg: CodecConfig, mesh) -> bytes:
         if name not in ("SEQ", "QUAL"):
             _encode_stream_groups(name, all_jobs, results, mesh)
 
-    out = io.BytesIO()
-    container.write_header(out, cfg)
-    offsets = []
-    for b in range(B):
-        nb, minq, qd = pres[b][1], pres[b][2], pres[b][3]
-        blk = EncodedBlock(nb, minq, qd, results[b])
-        offsets.append(container.write_block(out, blk))
-    container.write_index(out, offsets)
-    return out.getvalue()
+    return [EncodedBlock(pres[b][1], pres[b][2], pres[b][3], results[b])
+            for b in range(B)]
 
 
 def _encode_stream_groups(name, all_jobs, results, mesh):
@@ -170,6 +183,17 @@ def _decode_sharded_native(data: bytes, mesh) -> bytes:
     the pipeline_native fast path; SEQ+QUAL decode and lane unpack are
     batched, vmapped and sharded over the mesh (on-device scatter to
     record-major buffers). Byte-identical to sequential decode."""
+    f = io.BytesIO(data)
+    cfg = container.read_header(f)
+    blocks = list(container.iter_blocks(f, cfg))
+    return b"".join(decode_blocks_sharded(blocks, cfg, mesh))
+
+
+def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
+    """Decode a window of container blocks data-parallel over the mesh;
+    returns one bytes-like FASTQ part per block (byte-identical to the
+    sequential decoder). The unit under both the whole-file sharded
+    decode and the bounded-memory streaming sharded decode."""
     from dataclasses import replace
 
     from ..ops import streams_jax
@@ -177,11 +201,8 @@ def _decode_sharded_native(data: bytes, mesh) -> bytes:
     from ..pipeline_native import (_CODE_TO_BASE_FULL, decode_block_device,
                                    decode_block_finish)
 
-    f = io.BytesIO(data)
-    cfg = container.read_header(f)
-    blocks = list(container.iter_blocks(f, cfg))
     if not blocks:
-        return b""
+        return []
     W = cfg.lanes
 
     # 1. aux halves per block (LEN/FLAG/IDD/IDX/SEQX; recovers lengths)
@@ -221,7 +242,7 @@ def _decode_sharded_native(data: bytes, mesh) -> bytes:
         seq_bytes, qual_bytes = next(it)
         parts.append(decode_block_finish(
             inter[:8] + (seq_bytes, qual_bytes), cfg))
-    return b"".join(parts)
+    return parts
 
 
 def decode_fastq_sharded(data: bytes, mesh=None) -> bytes:
@@ -311,3 +332,91 @@ def decode_fastq_sharded(data: bytes, mesh=None) -> bytes:
         parts.append(serialize_fastq(decode_block(blk, cfg,
                                                   backend=backend)))
     return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory streaming + sharded (SURVEY.md §2 container row: multi-
+# device encode of 100GB-class files). RSS is O(window blocks + one read
+# chunk) regardless of file size; output bytes are identical to the
+# sequential api.encode_fastq / encode_file_streaming on the same data.
+# ---------------------------------------------------------------------------
+
+
+def _default_window(mesh) -> int:
+    # >= 2 blocks per device keeps every device busy while amortising the
+    # per-window dispatch overhead; callers override for RAM control
+    return 2 * max(int(mesh.devices.size), 1)
+
+
+def encode_file_streaming_sharded(src: str, dst: str, level: int = 3,
+                                  mesh=None, chunk_bytes: int = 1 << 28,
+                                  window_blocks: int | None = None,
+                                  resume: bool = False,
+                                  **overrides) -> None:
+    """Stream a huge FASTQ through the sharded encoder with bounded
+    memory: record blocks are prepared on the host (bounded window),
+    encoded data-parallel over the mesh, and appended via the resumable
+    container.Writer — the --streaming --sharded CLI path."""
+    from ..api import iter_block_ranges_native
+    from ..config import config_for_level
+    from ..ops import streams_jax
+    from ..pipeline_native import prepare_block_fast
+
+    if not native.available():
+        raise ValueError("sharded streaming encode requires the native "
+                         "host library")
+    mesh = mesh or pmesh.make_mesh()
+    window = window_blocks or _default_window(mesh)
+    cfg = config_for_level(level, **overrides)
+    skip_records = 0
+    if resume:
+        w, skip_records = container.Writer.resume(dst)
+        cfg = w.cfg
+    else:
+        w = container.Writer.create(dst, cfg)
+
+    pres: list = []
+
+    def flush():
+        for blk in encode_prepared_blocks_sharded(pres, cfg, mesh):
+            w.append(blk)
+        pres.clear()
+
+    seen = 0
+    for buf, idx, lo, hi in iter_block_ranges_native(src, cfg,
+                                                     chunk_bytes):
+        g_hi = seen + (hi - lo)
+        if g_hi > skip_records:  # else: already in the resumed output
+            pres.append(prepare_block_fast(buf, idx, lo, hi, cfg,
+                                           streams_jax))
+            if len(pres) >= window:
+                flush()
+        seen = g_hi
+    flush()
+    w.close()
+
+
+def decode_file_streaming_sharded(src: str, dst: str, mesh=None,
+                                  window_blocks: int | None = None) -> None:
+    """Bounded-memory sharded decode: container blocks are read
+    seek-based, decoded data-parallel over the mesh in bounded windows,
+    and written out — the --streaming --sharded decode CLI path."""
+    if not native.available():
+        raise ValueError("sharded streaming decode requires the native "
+                         "host library")
+    mesh = mesh or pmesh.make_mesh()
+    window = window_blocks or _default_window(mesh)
+    with open(src, "rb") as f, open(dst, "wb") as out:
+        cfg = container.read_header(f)
+        blocks: list = []
+
+        def flush():
+            for part in decode_blocks_sharded(blocks, cfg, mesh):
+                out.write(part)
+            blocks.clear()
+
+        for blk in container.iter_blocks(f, cfg):
+            blocks.append(blk)
+            if len(blocks) >= window:
+                flush()
+        flush()
