@@ -128,6 +128,7 @@ def test_counters():
     assert rep["ratio"] > 3 and "x" in rep["stages"]
 
 
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_sharded_file_encode_equals_sequential():
     from slimfastq_tpu.ops import streams_jax
     from slimfastq_tpu.parallel import mesh as pmesh

@@ -57,7 +57,9 @@ def test_pack_device_equals_host(n, W, maxlen):
 
 
 @pytest.mark.parametrize("reads,var,n_rate,level", [
-    (300, True, 0.02, 3), (128, False, 0.0, 1), (500, True, 0.3, 2)])
+    (300, True, 0.02, 3),
+    pytest.param(128, False, 0.0, 1, marks=pytest.mark.slow),
+    pytest.param(500, True, 0.3, 2, marks=pytest.mark.slow)])
 def test_raw_path_container_equals_oracle(reads, var, n_rate, level):
     d = synth_fastq(reads, read_len=60, seed=reads, var_len=var,
                     n_rate=n_rate)

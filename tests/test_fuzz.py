@@ -23,6 +23,7 @@ def test_truncations_raise_value_error(enc):
             decode_fastq(enc[:cut])
 
 
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_bitflips_raise_value_error(enc):
     """Format v2 CRC-covers every byte (header CRC, per-block body CRC with
     the length prefix validated against the parse, index CRC, end magic):

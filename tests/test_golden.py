@@ -78,7 +78,9 @@ def test_container_golden_native_matches():
     assert enc == _read("golden_v3_l3.sfq")
 
 
-@pytest.mark.parametrize("level", [1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "level", [3] + [pytest.param(lv, marks=pytest.mark.slow)
+                    for lv in (1, 2, 4)])
 def test_v2_container_still_decodes(level):
     """Round-2 (VERSION 2) containers decode bit-exactly at every level:
     same framing as v3, but the ID/LEN delta baseline is the globally
@@ -94,7 +96,9 @@ def test_v2_container_still_decodes(level):
         assert decode_fastq(old, use_native=True) == ref
 
 
-@pytest.mark.parametrize("level", [1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "level", [3] + [pytest.param(lv, marks=pytest.mark.slow)
+                    for lv in (1, 2, 4)])
 def test_v1_container_still_decodes(level):
     """Round-1 (VERSION 1) containers decode bit-exactly at EVERY level:
     legacy header, un-prefixed blocks, per-base SEQX exceptions — and the

@@ -10,6 +10,7 @@ from slimfastq_tpu.config import config_for_level
 from slimfastq_tpu.parallel import multihost
 from slimfastq_tpu.utils.fastq import parse_fastq_bytes, serialize_fastq
 from slimfastq_tpu.utils.synth import synth_fastq
+import pytest
 
 CFG = dict(lanes=32, aux_lanes=8, block_records=128)
 
@@ -30,6 +31,7 @@ def test_process_block_ranges():
     assert max(sizes) - min(sizes) <= 1
 
 
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_merge_containers_equals_single_run():
     """Per-host shards (contiguous block runs) merged in process order are
     byte-identical to a single-process whole-file encode."""
@@ -49,6 +51,7 @@ def test_merge_containers_equals_single_run():
     assert decode_fastq(merged) == data
 
 
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_streaming_encode_matches_whole_file(tmp_path):
     data = synth_fastq(700, read_len=50, seed=3, var_len=True)
     src = tmp_path / "in.fastq"
@@ -61,6 +64,7 @@ def test_streaming_encode_matches_whole_file(tmp_path):
     assert decode_fastq(dst.read_bytes()) == data
 
 
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_streaming_resume(tmp_path):
     data = synth_fastq(600, read_len=50, seed=4)
     src = tmp_path / "in.fastq"

@@ -29,9 +29,13 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.parametrize("nproc", [2])
-def test_multiprocess_encode_merge_equals_single(tmp_path, nproc):
-    data = synth_fastq(200, read_len=30, seed=17, var_len=True)
+@pytest.mark.slow  # spawns real processes; core format suite skips
+@pytest.mark.parametrize("nproc,records", [
+    (2, 200),   # 4 blocks over 2 procs
+    (4, 420),   # 7 blocks over 4 procs: UNEVEN assignment (2/2/2/1)
+])
+def test_multiprocess_encode_merge_equals_single(tmp_path, nproc, records):
+    data = synth_fastq(records, read_len=30, seed=17, var_len=True)
     src = tmp_path / "in.fastq"
     src.write_bytes(data)
 

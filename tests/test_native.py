@@ -30,11 +30,13 @@ def test_native_matches_python_basic():
     _both(synth_fastq(600, read_len=80, seed=2, var_len=True, n_rate=0.003))
 
 
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_native_matches_python_levels():
     for lv in (1, 4):
         _both(synth_fastq(200, read_len=50, seed=lv), level=lv)
 
 
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_native_adversarial():
     cases = [
         b"@r1\nACGT\n+\nIIII\n",
@@ -49,10 +51,12 @@ def test_native_adversarial():
         _both(data)
 
 
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_native_multi_block():
     _both(synth_fastq(700, read_len=40, seed=7, var_len=True))
 
 
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_native_lane_skewed_exceptions():
     """One record carrying (nearly) ALL non-ACGT exception bytes: aux lane
     0 holds every SEQX run, so a per-lane arena stride derived from the

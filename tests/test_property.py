@@ -5,6 +5,7 @@ import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from slimfastq_tpu.api import decode_fastq, encode_fastq
+import pytest
 
 SMALL = dict(lanes=8, aux_lanes=4, block_records=32)
 
@@ -32,6 +33,7 @@ def record(draw):
 
 @settings(max_examples=15, deadline=None)
 @given(st.lists(record(), min_size=0, max_size=60))
+@pytest.mark.slow  # stress/scale coverage; core format suite skips
 def test_roundtrip_property(records):
     data = b"".join(records)
     enc = encode_fastq(data, level=2, **SMALL)

@@ -66,6 +66,7 @@ def test_streaming_sharded_encode_bytes_and_window(tmp_path, data,
     assert window_sizes and max(window_sizes) <= 3, window_sizes
 
 
+@pytest.mark.slow  # scale coverage; core format suite skips
 def test_streaming_sharded_resume(tmp_path, data, sequential, mesh8):
     src = tmp_path / "in.fastq"
     src.write_bytes(data)
@@ -82,6 +83,7 @@ def test_streaming_sharded_resume(tmp_path, data, sequential, mesh8):
     assert dst.read_bytes() == sequential
 
 
+@pytest.mark.slow  # scale coverage; core format suite skips
 def test_streaming_sharded_decode_roundtrip(tmp_path, data, sequential,
                                             mesh8):
     enc = tmp_path / "in.sfq"
@@ -92,6 +94,7 @@ def test_streaming_sharded_decode_roundtrip(tmp_path, data, sequential,
     assert out.read_bytes() == data
 
 
+@pytest.mark.slow  # scale coverage; core format suite skips
 def test_cli_streaming_sharded(tmp_path, data, sequential):
     from slimfastq_tpu.cli import main
     src = tmp_path / "in.fastq"

@@ -29,8 +29,12 @@ with open(os.path.join(os.path.dirname(__file__), "data",
 _N = dict(SPECS)
 
 
-@pytest.mark.parametrize("name", [s[0] for s in SPECS])
-@pytest.mark.parametrize("level", LEVELS)
+@pytest.mark.parametrize(
+    "name", [pytest.param(s[0], marks=pytest.mark.slow)
+             if s[0] == "longread" else s[0] for s in SPECS])
+@pytest.mark.parametrize(
+    "level", [lv if lv == 3 else pytest.param(lv, marks=pytest.mark.slow)
+              for lv in LEVELS])
 def test_size_regression(name, level):
     data = corpus(name, _N[name], seed=1234)
     base = BASELINE[name]
