@@ -567,13 +567,29 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
     raise AssertionError("encode chunk overflow even with hard buffers")
 
 
-# Device compaction (ops/compact_pallas.py): concatenate emission chunks
-# on device so only ~the compressed payload crosses PCIe, instead of
-# shipping dense chunk buffers to the host compactor. Default ON for the
-# TPU backend (SFQ_DEVICE_COMPACT=0 opts out); off-TPU the Pallas kernel
-# would run in interpret mode, so the host compactor is used there (the
-# two are byte-identical — tested and asserted by every bench run).
+# Device compaction: concatenate emission chunks on device so only ~the
+# compressed payload crosses PCIe, instead of shipping dense chunk
+# buffers to the host compactor. Default ON for the TPU backend
+# (SFQ_DEVICE_COMPACT=0 opts out); off-TPU the host compactor is used
+# (the paths are byte-identical — tested and asserted by every bench
+# run). Two implementations: "xla" (ops/compact_xla — whole-array
+# scatter/cummax/gather, the round-3 default) and "pallas"
+# (ops/compact_pallas — the round-2 DMA kernel, 4.6-13 ms/block,
+# kept for comparison via SFQ_COMPACT_IMPL=pallas).
 _DEVICE_COMPACT = bool(int(os.environ.get("SFQ_DEVICE_COMPACT", "1")))
+_COMPACT_IMPL = os.environ.get("SFQ_COMPACT_IMPL", "xla")
+
+
+def compact_device_impl(ebufs, eptrs, Bmax: int):
+    """Selected device compactor -> (payload_u8_dev [W, Bmax], totals_dev).
+    Shared by _compact_device_path and bench.py's kernel timing."""
+    if _COMPACT_IMPL == "pallas":
+        from . import compact_pallas
+        pay_i32, totals = compact_pallas.compact_device_v2(ebufs, eptrs,
+                                                           Bmax)
+        return pay_i32.astype(jnp.uint8), totals
+    from . import compact_xla
+    return compact_xla.compact_device(ebufs, eptrs, Bmax)
 
 
 def _use_device_compact(W: int) -> bool:
@@ -615,14 +631,13 @@ def _compact_device_path(ebufs, eptrs, low, counts, CB):
     """On-device compaction + host flush-byte append. Byte-identical to
     _compact_host (tested). The only device->host readbacks are the [W]
     per-lane totals (4 KB at W=1024) and the compacted payload itself."""
-    from . import compact_pallas
     totals_np = np.asarray(jnp.sum(eptrs, axis=0)).astype(np.int64)
     Bmax = int(totals_np.max()) if totals_np.size else 0
     # quantise the (data-dependent) payload bound to 4 KB buckets so the
     # kernel compiles once per bucket, not once per block
     Bmax = ((Bmax + R.FLUSH_BYTES + 4095) // 4096) * 4096 + 128
-    pay_i32, _ = compact_pallas.compact_device_v2(ebufs, eptrs, Bmax)
-    pay = np.asarray(pay_i32.astype(jnp.uint8))
+    pay_dev, _ = compact_device_impl(ebufs, eptrs, Bmax)
+    pay = np.asarray(pay_dev)
     return _flush_append(pay, totals_np, np.asarray(low), counts)
 
 

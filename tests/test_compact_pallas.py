@@ -58,8 +58,10 @@ def test_compact_v2_matches_reference(seed, NC, W, CB):
 
 
 def test_device_compact_encode_path_identical(monkeypatch):
-    """SFQ_DEVICE_COMPACT encode path must produce byte-identical
-    payloads/lens to the host compactor."""
+    """SFQ_DEVICE_COMPACT encode path (pallas impl) must produce
+    byte-identical payloads/lens to the host compactor. The TPU-only
+    gate is monkeypatched open (on CPU the Pallas kernel runs in
+    interpret mode); test_compact_xla covers the default xla impl."""
     from slimfastq_tpu.config import config_for_level
     from slimfastq_tpu.ops import streams_jax
     from slimfastq_tpu.pipeline import _lane_lengths_matrix
@@ -80,7 +82,9 @@ def test_device_compact_encode_path_identical(monkeypatch):
 
     p_host, l_host = streams_jax.encode_stream_ll("qual", cfg.qual, syms,
                                                   ll, counts)
-    monkeypatch.setattr(streams_jax, "_DEVICE_COMPACT", True)
+    monkeypatch.setattr(streams_jax, "_use_device_compact",
+                        lambda W: W % 8 == 0)
+    monkeypatch.setattr(streams_jax, "_COMPACT_IMPL", "pallas")
     p_dev, l_dev = streams_jax.encode_stream_ll("qual", cfg.qual, syms,
                                                 ll, counts)
     assert np.array_equal(l_host, l_dev)

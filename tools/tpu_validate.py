@@ -88,12 +88,30 @@ def main() -> int:
     t, out = timeit(lambda: coder(*sc))
     print(f"seq coder: {t*1000:.2f} ms")
 
-    from slimfastq_tpu.ops import compact_pallas
+    from slimfastq_tpu.ops import compact_pallas, compact_xla
     import jax.numpy as jnp
     Bmax = ((3000 + 4095) // 4096) * 4096 + 128
     t, comp = timeit(lambda: compact_pallas.compact_device_v2(
         out[0], out[1], Bmax))
-    print(f"pallas compaction: {t*1000:.2f} ms")
+    print(f"pallas compaction (seq): {t*1000:.2f} ms")
+    t, comp_x = timeit(lambda: compact_xla.compact_device(
+        out[0], out[1], Bmax))
+    print(f"xla compaction (seq): {t*1000:.2f} ms")
+
+    # qual stream: the larger CB (depth 6) dominated the round-2 numbers
+    schedq = SJ._build_schedule_ll("qual", cfg.qual, Sp, S, W, Rpl)
+    t, scq = timeit(lambda: schedq(qual_syms, dargs[2], d_counts))
+    print(f"qual schedule: {t*1000:.2f} ms")
+    coderq = SJ._build_encode("qual", cfg.qual, Sp, W, False)
+    t, outq = timeit(lambda: coderq(*scq))
+    print(f"qual coder: {t*1000:.2f} ms")
+    Bmaxq = ((4000 + 4095) // 4096) * 4096 + 128
+    t, _ = timeit(lambda: compact_pallas.compact_device_v2(
+        outq[0], outq[1], Bmaxq))
+    print(f"pallas compaction (qual): {t*1000:.2f} ms")
+    t, compq_x = timeit(lambda: compact_xla.compact_device(
+        outq[0], outq[1], Bmaxq))
+    print(f"xla compaction (qual): {t*1000:.2f} ms")
 
     rec_starts = np.zeros(n, dtype=np.int64)
     rec_starts[1:] = np.cumsum(lengths[:-1])
