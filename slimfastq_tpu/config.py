@@ -167,10 +167,17 @@ LEVELS: dict[int, CodecConfig] = {
     # (q3, finer position) LOSE on 16k-read blocks: measured conditional
     # entropy gain <= 0.02 bit/qual vs ~3x the cold-table learning cost
     # (the coded-vs-entropy gap is ~0.23 bit/qual of adaptation cost).
+    # seq rate 1 (round 3, tools/sweep_cold.py): order-11 contexts are 4x
+    # sparser than L3's order-10 and stay cold — the fastest adaptation
+    # wins at EVERY measured shape (64k x W=1024: -8.4% = ratio 5.707 ->
+    # 6.106; 16k: -9.9%; every small regression corpus: -3..-11%, making
+    # L4 <= L3 bytes everywhere). L3's order-10 is warm at 64k and
+    # prefers rate 3 (rate 1 regressed it +1.25%); qual rate cuts hurt
+    # warm blocks (+12% at rate 3) — qual keeps rate 5.
     4: CodecConfig(level=4,
                    qual=QualGeom(q2_bits=6, delta_bits=2, pos_bits=1,
                                  pos_shift=6, rate=5),
-                   seq=SeqGeom(order=11, rate=3)),
+                   seq=SeqGeom(order=11, rate=1)),
 }
 
 # FROZEN: the level table as of the final container-format-1 build.

@@ -69,6 +69,17 @@ HEADER_SIZE = {1: 20, 2: 36, 3: 36}
 IMPLICIT_COUNTS = frozenset({"FLAG", "SEQ", "QUAL"})
 
 
+def _crc32(buf) -> int:
+    """zlib-compatible CRC32; large block bodies take the chunk-parallel
+    native path (identical values — pinned by tests), small headers stay
+    on zlib."""
+    if len(buf) >= (1 << 16):
+        from . import native
+        if native.available():
+            return native.crc32(buf)
+    return zlib.crc32(buf)
+
+
 def _read_exact(f: BinaryIO, n: int) -> bytes:
     buf = f.read(n)
     if len(buf) != n:
@@ -176,7 +187,7 @@ def write_block(f: BinaryIO, blk: EncodedBlock) -> int:
     returns its start offset."""
     off = f.tell()
     raw = _block_body(blk)
-    f.write(struct.pack("<II", zlib.crc32(raw), len(raw)))
+    f.write(struct.pack("<II", _crc32(raw), len(raw)))
     f.write(raw)
     return off
 
@@ -226,7 +237,7 @@ def _read_block_v1(buf: bytes, pos: int):
     (crc,) = struct.unpack_from("<I", buf, pos)
     start = pos + 4
     blk, end = _parse_body(buf, start)
-    if zlib.crc32(buf[start:end]) != crc:
+    if _crc32(buf[start:end]) != crc:
         raise ValueError("block CRC mismatch (corrupt container)")
     return blk, end
 
@@ -243,7 +254,7 @@ def read_block(f: BinaryIO, fmt: int = VERSION) -> EncodedBlock:
         return blk
     crc, blen = struct.unpack("<II", _read_exact(f, 8))
     raw = _read_exact(f, blen)
-    if zlib.crc32(raw) != crc:
+    if _crc32(raw) != crc:
         raise ValueError("block CRC mismatch (corrupt container)")
     blk, used = _parse_body(raw, 0)
     if used != blen:
@@ -400,7 +411,7 @@ def recover_blocks(f: BinaryIO) -> tuple[CodecConfig, list[int], int]:
         if blen < 8 or pos + 8 + blen > end:
             break
         raw = _read_exact(f, blen)
-        if zlib.crc32(raw) != crc:
+        if _crc32(raw) != crc:
             break
         offsets.append(pos)
         pos += 8 + blen

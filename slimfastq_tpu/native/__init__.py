@@ -54,6 +54,8 @@ def _load():
     pi32 = ctypes.POINTER(ctypes.c_int32)
     pp8 = ctypes.POINTER(ctypes.c_void_p)
 
+    lib.crc32_buf.restype = ctypes.c_uint32
+    lib.crc32_buf.argtypes = [p8, i64]
     lib.fastq_index.restype = i64
     lib.fastq_index.argtypes = [p8, i64, i64] + [pi64] * 9
     lib.lens_encode.restype = i64
@@ -174,6 +176,15 @@ def lens_encode(lengths: np.ndarray, wa: int,
         raise RuntimeError("lens_encode overflow")
     return [arena[w * stride: w * stride + sizes[w]].copy()
             for w in range(wa)]
+
+
+def crc32(data) -> int:
+    """zlib-compatible CRC32 (chunk-parallel slice-by-8; equality with
+    zlib.crc32 is pinned by tests). Accepts bytes or a uint8 array."""
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)) else \
+        np.ascontiguousarray(data, dtype=np.uint8)
+    return int(lib.crc32_buf(_p8(buf), buf.size))
 
 
 def ragged_pack_rows(payload: np.ndarray, lens: np.ndarray) -> np.ndarray:

@@ -64,7 +64,114 @@ static int64_t fill_nl(const uint8_t* p, int64_t len, int64_t base,
     return k;
 }
 
+// ---------------------------------------------------------------------------
+// CRC32 (IEEE reflected, zlib-compatible): slice-by-8 tables + OpenMP
+// chunking with a GF(2) combine. Bit-identical to zlib.crc32 — pinned by
+// tests/test_native.py — so container CRCs are NOT format-affected.
+// Measured ~0.4 GB/s via Python zlib on this host vs ~3 GB/s/core here.
+// ---------------------------------------------------------------------------
+static uint32_t crc_tab[8][256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+    if (crc_init_done) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        crc_tab[0][i] = c;
+    }
+    for (uint32_t i = 0; i < 256; i++)
+        for (int t = 1; t < 8; t++)
+            crc_tab[t][i] = crc_tab[0][crc_tab[t - 1][i] & 0xFF]
+                ^ (crc_tab[t - 1][i] >> 8);
+    crc_init_done = true;
+}
+
+static uint32_t crc32_span(uint32_t crc, const uint8_t* p, int64_t len) {
+    crc = ~crc;
+    int64_t i = 0;
+    for (; i + 8 <= len; i += 8) {
+        uint32_t lo, hi;
+        memcpy(&lo, p + i, 4);
+        memcpy(&hi, p + i + 4, 4);
+        lo ^= crc;
+        crc = crc_tab[7][lo & 0xFF] ^ crc_tab[6][(lo >> 8) & 0xFF]
+            ^ crc_tab[5][(lo >> 16) & 0xFF] ^ crc_tab[4][lo >> 24]
+            ^ crc_tab[3][hi & 0xFF] ^ crc_tab[2][(hi >> 8) & 0xFF]
+            ^ crc_tab[1][(hi >> 16) & 0xFF] ^ crc_tab[0][hi >> 24];
+    }
+    for (; i < len; i++)
+        crc = crc_tab[0][(crc ^ p[i]) & 0xFF] ^ (crc >> 8);
+    return ~crc;
+}
+
+// crc(A||B) from crc(A), crc(B), len(B): shift crc(A) by len(B) zero
+// bytes via GF(2) matrix exponentiation (zlib crc32_combine algorithm)
+static void gf2_sq(uint32_t* sq, const uint32_t* m) {
+    for (int n = 0; n < 32; n++) {
+        uint32_t v = m[n], s = 0;
+        for (int b = 0; b < 32; b++)
+            if (v & (1u << b)) s ^= m[b];
+        sq[n] = s;
+    }
+}
+
+static uint32_t crc32_comb(uint32_t crc1, uint32_t crc2, int64_t len2) {
+    if (len2 <= 0) return crc1;
+    uint32_t even[32], odd[32];
+    odd[0] = 0xEDB88320u;                 // the CRC polynomial, reflected
+    for (int n = 1; n < 32; n++) odd[n] = 1u << (n - 1);
+    gf2_sq(even, odd);                    // 2 zero bits
+    gf2_sq(odd, even);                    // 4 zero bits
+    do {                                  // apply len2 zero BYTES
+        gf2_sq(even, odd);
+        if (len2 & 1) {
+            uint32_t s = 0;
+            for (int b = 0; b < 32; b++)
+                if (crc1 & (1u << b)) s ^= even[b];
+            crc1 = s;
+        }
+        len2 >>= 1;
+        if (!len2) break;
+        gf2_sq(odd, even);
+        if (len2 & 1) {
+            uint32_t s = 0;
+            for (int b = 0; b < 32; b++)
+                if (crc1 & (1u << b)) s ^= odd[b];
+            crc1 = s;
+        }
+        len2 >>= 1;
+    } while (len2);
+    return crc1 ^ crc2;
+}
+
 extern "C" {
+
+// zlib-compatible CRC32, chunk-parallel for large buffers
+uint32_t crc32_buf(const uint8_t* p, int64_t n) {
+    crc_init();
+    int nt = 1;
+#ifdef _OPENMP
+    nt = omp_get_max_threads();
+#endif
+    if (n < (1 << 20) || nt == 1)
+        return crc32_span(0, p, n);
+    if (nt > 8) nt = 8;
+    int64_t per = (n + nt - 1) / nt;
+    uint32_t part[8];
+    int64_t plen[8];
+#pragma omp parallel for schedule(static, 1) num_threads(nt)
+    for (int t = 0; t < nt; t++) {
+        int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+        plen[t] = hi > lo ? hi - lo : 0;
+        part[t] = plen[t] ? crc32_span(0, p + lo, plen[t]) : 0;
+    }
+    uint32_t crc = part[0];
+    for (int t = 1; t < nt; t++)
+        crc = crc32_comb(crc, part[t], plen[t]);
+    return crc;
+}
 
 // ---------------------------------------------------------------------------
 // FASTQ indexing: split a buffer into 4-line records, validate, and emit

@@ -78,6 +78,21 @@ def test_container_golden_native_matches():
     assert enc == _read("golden_v3_l3.sfq")
 
 
+def test_v3_round2_l4_geometry_still_decodes():
+    """Round-2 L4 containers (seq rate 3 — the pre-round-3 level table)
+    decode bit-exactly: geometry is serialized in the v2+ header, so a
+    LEVELS-table change must never break old containers."""
+    old = _read("golden_v3r2_l4.sfq")
+    f = io.BytesIO(old)
+    cfg = container.read_header(f)
+    assert cfg.fmt == 3 and cfg.level == 4 and cfg.seq.rate == 3
+    ref = _read("golden_v2.fastq")
+    assert decode_fastq(old, use_native=False) == ref
+    from slimfastq_tpu import native
+    if native.available():
+        assert decode_fastq(old, use_native=True) == ref
+
+
 @pytest.mark.parametrize(
     "level", [3] + [pytest.param(lv, marks=pytest.mark.slow)
                     for lv in (1, 2, 4)])
