@@ -209,8 +209,11 @@ def phase_encode() -> int:
     end = int(idx["qual_off"][n - 1] + idx["qual_len"][n - 1])
 
     def _padraw():
-        dpad = np.zeros(PJ.pad_flat(end - base), dtype=np.uint8)
-        dpad[: end - base] = data[base:end]
+        # np.empty + tail-only zero — what pipeline_native actually does
+        span = end - base
+        dpad = np.empty(PJ.pad_flat(span), dtype=np.uint8)
+        dpad[:span] = data[base:end]
+        dpad[span:] = 0
         return dpad
     dt, cold, dpad = _timeit_host(_padraw)
     t["host_pack"] += dt
@@ -327,12 +330,16 @@ def phase_encode() -> int:
             t["d2h"] += pc() - t0
             d2h_bytes += ebufs.nbytes + eptrs.nbytes + low.nbytes
             comp_in[name] = ("host", ebufs, eptrs, low, counts, CB)
+        per_stream[name] = True  # drop the device-side tuples: ~300 MB of
+        # live emission buffers/schedules (a production encoder frees them
+        # before container IO) measurably skewed the write-stage timing
+    del dev_syms
 
     streams = {}
     for name in STREAMS:
         kind, geom, syms, counts, pos, reset = jobs[name]
         counts = np.asarray(counts)
-        if per_stream[name] is None:
+        if per_stream.get(name) is None:
             W_s = W if name in ("SEQ", "QUAL") else cfg.aux_lanes
             payload = np.zeros((W_s, 0), dtype=np.uint8)
             lens = np.zeros(W_s, dtype=np.int64)
@@ -359,6 +366,7 @@ def phase_encode() -> int:
             dt_f, _, _ = _timeit_host(
                 lambda: SJ._flush_append(payload, totals, low, counts))
             t["host_flush"] = t.get("host_flush", 0.0) + dt_f
+        comp_in[name] = None  # free this stream's dense buffers
         streams[name] = EncodedStream(counts.astype(np.int64), lens,
                                       payload)
     blk = EncodedBlock(n, minq, qual_depth, streams)
@@ -458,7 +466,7 @@ def phase_decode() -> int:
             Wn = es.payload.shape[0]
             Lb = max(int(es.payload.shape[1]), 1)
             Lb = ((Lb + 2047) // 2048) * 2048
-            pay = np.zeros((Wn, Lb), dtype=np.uint8)
+            pay = np.empty((Wn, Lb), dtype=np.uint8)  # kernel masks tail
             pay[:, : es.payload.shape[1]] = es.payload
             words = pay.view("<u4").reshape(Wn * (Lb // 4))
             K = SJ._CHUNK_SYMS
@@ -557,8 +565,9 @@ def phase_decode() -> int:
             return self.plain.pop(0)
 
         def decode_seq_qual_raw(self, *a, **k):
-            # fresh copies: decode_block_fast patches SEQX in place
-            return seq_flat.copy(), qual_flat.copy()
+            # seq: fresh copy (decode_block_fast patches SEQX in place);
+            # qual: read-only view — mirrors streams_jax.decode_seq_qual_raw
+            return seq_flat.copy(), qual_flat
 
     dt, cold, out = _timeit_host(
         lambda: decode_block_fast(blk, cfg, _Shim()))

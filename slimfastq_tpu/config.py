@@ -30,6 +30,9 @@ class QualGeom:
     pos_shift: int = 3      # bucket = min(pos >> shift, 2^pos_bits - 1)
     rate: int = 5           # adaptation shift
     delta_bits: int = 0     # 0 or 2: quantised q1-q2 delta context bits
+    rate_lo: int = 0        # format v4 visit-count warm-up: cold entries
+    #   adapt at shift min(rate, rate_lo + ceil_log2(visits+1)); 0 = off
+    #   (ranger_np.table_update docstring is the frozen law)
 
     @property
     def num_ctx(self) -> int:
@@ -58,6 +61,7 @@ class SeqGeom:
     """
     order: int = 10         # k previous bases of context
     rate: int = 4
+    rate_lo: int = 0        # format v4 visit-count warm-up (see QualGeom)
 
     depth: int = 2          # 2 bits per base — fixed
 
@@ -149,16 +153,25 @@ class CodecConfig:
 # Quality geometry per level follows the measured sweep (full previous-two
 # qualities beat quantised-q2 + fine position buckets by ~8%): see
 # BASELINE.md.
+# Round-3 (format v4) rate_lo values are measured: tools/sweep_cold.py +
+# the rate_lo combo sweep (commit message has the tables). Qual rate_lo=1
+# everywhere: -3..-12% on 500-read corpora, -0.9% at 16k, no warm cost.
+# Seq: L3's order-10 warm-up (rate_lo=1) is the big one — 64k-block ratio
+# 5.5914 -> 6.0181 and -13..-20% on small corpora; L1/L2's shallower
+# orders are warm sooner and prefer rate_lo=2.
 LEVELS: dict[int, CodecConfig] = {
     1: CodecConfig(level=1,
-                   qual=QualGeom(q2_bits=0, pos_bits=2, pos_shift=5, rate=5),
-                   seq=SeqGeom(order=5, rate=3)),
+                   qual=QualGeom(q2_bits=0, pos_bits=2, pos_shift=5, rate=5,
+                                 rate_lo=1),
+                   seq=SeqGeom(order=5, rate=3, rate_lo=2)),
     2: CodecConfig(level=2,
-                   qual=QualGeom(q2_bits=4, pos_bits=1, pos_shift=6, rate=5),
-                   seq=SeqGeom(order=7, rate=3)),
+                   qual=QualGeom(q2_bits=4, pos_bits=1, pos_shift=6, rate=5,
+                                 rate_lo=1),
+                   seq=SeqGeom(order=7, rate=3, rate_lo=2)),
     3: CodecConfig(level=3,
-                   qual=QualGeom(q2_bits=6, pos_bits=1, pos_shift=6, rate=5),
-                   seq=SeqGeom(order=10, rate=3)),
+                   qual=QualGeom(q2_bits=6, pos_bits=1, pos_shift=6, rate=5,
+                                 rate_lo=1),
+                   seq=SeqGeom(order=10, rate=3, rate_lo=1)),
     # L4 = L3 qual context + the q1-q2 delta ingredient + one more base of
     # seq context. With the full previous qual in-context (q2_bits=6 at
     # depth 6) the delta code is redundant and the qual bytes are identical
@@ -167,17 +180,16 @@ LEVELS: dict[int, CodecConfig] = {
     # (q3, finer position) LOSE on 16k-read blocks: measured conditional
     # entropy gain <= 0.02 bit/qual vs ~3x the cold-table learning cost
     # (the coded-vs-entropy gap is ~0.23 bit/qual of adaptation cost).
-    # seq rate 1 (round 3, tools/sweep_cold.py): order-11 contexts are 4x
-    # sparser than L3's order-10 and stay cold — the fastest adaptation
-    # wins at EVERY measured shape (64k x W=1024: -8.4% = ratio 5.707 ->
-    # 6.106; 16k: -9.9%; every small regression corpus: -3..-11%, making
-    # L4 <= L3 bytes everywhere). L3's order-10 is warm at 64k and
-    # prefers rate 3 (rate 1 regressed it +1.25%); qual rate cuts hurt
-    # warm blocks (+12% at rate 3) — qual keeps rate 5.
+    # L4 seq: order-11 with the v4 warm-up (rate 3, rate_lo 1) — wins
+    # every shape >= 16k (64k x W=1024: ratio 6.3959 vs warm L3's
+    # 6.0181; 16k: -2.5% vs fixed rate 1), and is within ~1% of warm L3
+    # on the 500-read toy corpora, where 500 reads cannot warm an
+    # order-11 table under ANY schedule (measured bound: fixed rate 1 —
+    # the fastest possible adaptation — still loses to warm L3 there).
     4: CodecConfig(level=4,
                    qual=QualGeom(q2_bits=6, delta_bits=2, pos_bits=1,
-                                 pos_shift=6, rate=5),
-                   seq=SeqGeom(order=11, rate=1)),
+                                 pos_shift=6, rate=5, rate_lo=1),
+                   seq=SeqGeom(order=11, rate=3, rate_lo=1)),
 }
 
 # FROZEN: the level table as of the final container-format-1 build.

@@ -7,6 +7,13 @@ encode/decode, ordered multi-host gather, resumable partial output, and
 bounded-memory streaming decode (SURVEY.md §5 failure detection /
 checkpoint-resume).
 
+Format VERSION 4 = VERSION 3 streams + the visit-count adaptation
+warm-up (ranger_np.table_update: entries adapt at shift min(rate,
+rate_lo + ceil_log2(visits+1)) when a geometry sets 0 < rate_lo < rate).
+The header grows two geometry bytes (qual.rate_lo, seq.rate_lo); block
+framing and the ID/LEN baseline rule are unchanged from v3. v1/v2/v3
+containers keep decoding (their geometries carry rate_lo = 0).
+
 Format VERSION 3 = VERSION 2 layout with the ID/LEN delta baseline moved
 from the globally previous record r-1 to the aux-lane-local previous
 record r-Wa (pipeline.py stream_jobs), which makes the host-side ID/LEN
@@ -60,9 +67,9 @@ from .utils.bits import (get_varint, get_varint_arr, put_varint,
 
 MAGIC = b"SFQT"
 END_MAGIC = b"SFQE"
-VERSION = 3
+VERSION = 4
 
-HEADER_SIZE = {1: 20, 2: 36, 3: 36}
+HEADER_SIZE = {1: 20, 2: 36, 3: 36, 4: 38}
 
 # streams whose per-lane symbol counts the decoder can derive (FLAG from
 # record count; SEQ/QUAL from decoded read lengths) — not stored
@@ -109,7 +116,16 @@ def write_header(f: BinaryIO, cfg: CodecConfig) -> None:
     # with a cfg read from an old container keeps that container's rules
     # and stamps its version. cfg.fmt<=2 (including 1) encodes v2 streams
     # with v2 framing — stream emission is identical for v1/v2 cfgs.
-    ver = VERSION if cfg.fmt >= 3 else 2
+    # cfg.fmt >= 3 encodes the current stream rules; a v3 cfg (read from
+    # a round-2 container) re-encodes as v4 only if a geometry actually
+    # uses the warm-up — otherwise its streams are bit-identical to v3
+    # and the stamp stays 3, so round-2 decoders keep working.
+    if cfg.fmt >= 3:
+        warm = (0 < cfg.qual.rate_lo < cfg.qual.rate
+                or 0 < cfg.seq.rate_lo < cfg.seq.rate)
+        ver = 4 if (cfg.fmt >= 4 or warm) else 3
+    else:
+        ver = 2
     hdr = bytearray()
     hdr += MAGIC
     hdr += struct.pack("<HBBIII", ver, cfg.level, 0,
@@ -118,6 +134,8 @@ def write_header(f: BinaryIO, cfg: CodecConfig) -> None:
     hdr += struct.pack("<12B", q.depth, q.q2_bits, q.delta_bits, q.pos_bits,
                        q.pos_shift, q.rate, s.order, s.rate, b.order,
                        b.rate, fl.hist_bits, fl.rate)
+    if ver >= 4:
+        hdr += struct.pack("<2B", q.rate_lo, s.rate_lo)
     hdr += struct.pack("<I", zlib.crc32(bytes(hdr)))
     f.write(bytes(hdr))
 
@@ -138,22 +156,27 @@ def read_header(f: BinaryIO) -> CodecConfig:
         base = LEVELS_V1[level]
         return replace(base, lanes=lanes, aux_lanes=aux,
                        block_records=blockrec, fmt=1)
-    if version not in (2, VERSION):
+    if version not in (2, 3, 4):
         raise ValueError(f"unsupported sfq version {version}")
-    rest = _read_exact(f, HEADER_SIZE[2] - 6)
+    hsize = HEADER_SIZE[version]
+    rest = _read_exact(f, hsize - 6)
     hdr = magic + struct.pack("<H", version) + rest
-    (crc,) = struct.unpack_from("<I", hdr, HEADER_SIZE[2] - 4)
-    if zlib.crc32(hdr[: HEADER_SIZE[2] - 4]) != crc:
+    (crc,) = struct.unpack_from("<I", hdr, hsize - 4)
+    if zlib.crc32(hdr[: hsize - 4]) != crc:
         raise ValueError("container header CRC mismatch (corrupt file)")
     level, _flags, lanes, aux, blockrec = struct.unpack_from("<BBIII", hdr, 6)
     (qd, qq2, qdb, qpb, qps, qr, so, sr, bo, br, fh, fr) = \
         struct.unpack_from("<12B", hdr, 20)
+    qlo = slo = 0
+    if version >= 4:
+        qlo, slo = struct.unpack_from("<2B", hdr, 32)
     base = config_for_level(level, lanes=lanes, aux_lanes=aux,
                             block_records=blockrec)
     return replace(base, fmt=version,
                    qual=QualGeom(depth=qd, q2_bits=qq2, delta_bits=qdb,
-                                 pos_bits=qpb, pos_shift=qps, rate=qr),
-                   seq=SeqGeom(order=so, rate=sr),
+                                 pos_bits=qpb, pos_shift=qps, rate=qr,
+                                 rate_lo=qlo),
+                   seq=SeqGeom(order=so, rate=sr, rate_lo=slo),
                    bytes_=ByteGeom(order=bo, rate=br),
                    flags=FlagGeom(hist_bits=fh, rate=fr))
 

@@ -277,8 +277,12 @@ def _build_schedule_ll(kind: str, geom, Sp: int, S: int, W: int, Rpl: int):
 @functools.lru_cache(maxsize=256)
 def _build_encode(kind: str, geom, Sp: int, W: int, hard: bool):
     # NOTE: keep this function in the exact proto shape — see module
-    # docstring "compile cliff".
+    # docstring "compile cliff". The `warm` conditionals below are
+    # Python-level: a geometry without the v4 visit-count warm-up traces
+    # to the IDENTICAL program as before.
     depth, rate = geom.depth, geom.rate
+    rate_lo = getattr(geom, "rate_lo", 0)
+    warm = 0 < rate_lo < rate
     tsize = geom.table_size
     sac_base = geom.sac_base
     CB = _chunk_bytes(depth, hard)
@@ -294,13 +298,21 @@ def _build_encode(kind: str, geom, Sp: int, W: int, hard: bool):
         loff = jnp.asarray(lane_off_np)
 
         def chunk(carry, xs):
-            low, rngs, table = carry
+            if warm:
+                low, rngs, table, vtab = carry
+            else:
+                low, rngs, table = carry
+                vtab = None
             idxs, bits = xs
             ebuf = jnp.zeros(W * CB + 1, I32)
             eptr = jnp.zeros(W, I32)
 
             def bitstep(i, st):
-                low, rngs, table, ebuf, eptr = st
+                if warm:
+                    low, rngs, table, vtab, ebuf, eptr = st
+                else:
+                    low, rngs, table, ebuf, eptr = st
+                    vtab = None
                 idx = idxs[i]
                 bit = bits[i]
                 # collision-capped law step A: deposit count markers
@@ -330,8 +342,20 @@ def _build_encode(kind: str, geom, Sp: int, W: int, hard: bool):
                     rngs = jnp.where(do, rngs << U32(8), rngs)
                 p32 = p.astype(I32)
                 cnt = marked >> I32(R.CNT_SHIFT)
-                delta = jnp.where(is1, -(p32 >> rate),
-                                  (I32(PROB_ONE) - p32) >> rate)
+                if warm:
+                    # v4 visit-count warm-up (ranger_np.table_update law)
+                    vis = jnp.minimum(vtab[idx], I32(1024))
+                    lgv = jnp.zeros_like(vis)
+                    for j in range(10):
+                        lgv = lgv + (vis + I32(1) > (1 << j)).astype(I32)
+                    reff = jnp.minimum(I32(rate), I32(rate_lo) + lgv)
+                    delta = jnp.where(is1, -(p32 >> reff),
+                                      (I32(PROB_ONE) - p32) >> reff)
+                    vtab = vtab.at[idx].add(
+                        jnp.where(idx < sac_base, I32(1), I32(0)))
+                else:
+                    delta = jnp.where(is1, -(p32 >> rate),
+                                      (I32(PROB_ONE) - p32) >> rate)
                 lg = jnp.zeros_like(cnt)
                 for j in range(10):
                     lg = lg + (cnt > (1 << j)).astype(I32)
@@ -341,14 +365,24 @@ def _build_encode(kind: str, geom, Sp: int, W: int, hard: bool):
                 table = table.at[idx].add(delta)
                 v = table[idx]
                 table = table.at[idx].set(jnp.clip(v, PROB_MIN, PROB_MAX))
+                if warm:
+                    return (low, rngs, table, vtab, ebuf, eptr)
                 return (low, rngs, table, ebuf, eptr)
 
+            if warm:
+                low, rngs, table, vtab, ebuf, eptr = jax.lax.fori_loop(
+                    0, KD, bitstep, (low, rngs, table, vtab, ebuf, eptr))
+                return (low, rngs, table, vtab), (ebuf[:-1], eptr)
             low, rngs, table, ebuf, eptr = jax.lax.fori_loop(
                 0, KD, bitstep, (low, rngs, table, ebuf, eptr))
             return (low, rngs, table), (ebuf[:-1], eptr)
 
-        (low, rngs, table), (ebufs, eptrs) = jax.lax.scan(
-            chunk, (low, rngs, table), (idx_c, bit_c))
+        carry0 = (low, rngs, table)
+        if warm:
+            carry0 = carry0 + (jnp.zeros(tsize, I32),)
+        _carry, (ebufs, eptrs) = jax.lax.scan(chunk, carry0,
+                                              (idx_c, bit_c))
+        low = _carry[0]
         # single whole-array cast: transfer u8, not i32 (4x less d2h)
         return ebufs.astype(jnp.uint8), eptrs, low, eptrs.max()
 
@@ -396,6 +430,8 @@ def _compact_host(ebufs, eptrs, low, counts, CB):
 def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
     """Lw: payload words (uint32) per lane."""
     depth, rate = geom.depth, geom.rate
+    rate_lo = getattr(geom, "rate_lo", 0)
+    warm = 0 < rate_lo < rate   # v4 visit-count warm-up (see encode)
     tsize = geom.table_size
     sac_base = geom.sac_base
     num_ctx = geom.num_ctx
@@ -432,12 +468,23 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
         cst0 = _ctx_init(kind, W)
 
         def chunk(carry, xs):
-            low, rngs, code, ptr, table, cst, words, lens32 = carry
+            if warm:
+                low, rngs, code, ptr, table, vtab, cst, words, \
+                    lens32 = carry
+            else:
+                low, rngs, code, ptr, table, cst, words, lens32 = carry
+                vtab = None
             acts_c, poss_c, resets_c = xs
             sbuf = jnp.zeros((K, W), U32)
 
             def symstep(i, st):
-                low, rngs, code, ptr, table, cst, sbuf, words, lens32 = st
+                if warm:
+                    (low, rngs, code, ptr, table, vtab, cst, sbuf, words,
+                     lens32) = st
+                else:
+                    (low, rngs, code, ptr, table, cst, sbuf, words,
+                     lens32) = st
+                    vtab = None
                 act = acts_c[i] == 1
                 ctx, cst = _ctx_step(kind, geom, cst, poss_c[i], resets_c[i])
                 ctx = jnp.where(act, ctx, U32(num_ctx))
@@ -473,8 +520,20 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
                         rngs = jnp.where(do, rngs << U32(8), rngs)
                     p32 = p.astype(I32)
                     cnt = marked >> I32(R.CNT_SHIFT)
-                    delta = jnp.where(is1, -(p32 >> rate),
-                                      (I32(PROB_ONE) - p32) >> rate)
+                    if warm:
+                        vis = jnp.minimum(vtab[idx], I32(1024))
+                        lgv = jnp.zeros_like(vis)
+                        for j in range(10):
+                            lgv = lgv + (vis + I32(1)
+                                         > (1 << j)).astype(I32)
+                        reff = jnp.minimum(I32(rate), I32(rate_lo) + lgv)
+                        delta = jnp.where(is1, -(p32 >> reff),
+                                          (I32(PROB_ONE) - p32) >> reff)
+                        vtab = vtab.at[idx].add(
+                            jnp.where(idx < sac_base, I32(1), I32(0)))
+                    else:
+                        delta = jnp.where(is1, -(p32 >> rate),
+                                          (I32(PROB_ONE) - p32) >> rate)
                     lg = jnp.zeros_like(cnt)
                     for j in range(10):
                         lg = lg + (cnt > (1 << j)).astype(I32)
@@ -491,16 +550,31 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
                 cst = _ctx_advance(kind, geom, cst, sym)
                 sbuf = jax.lax.dynamic_update_slice(sbuf, sym[None, :],
                                                     (i, 0))
+                if warm:
+                    return (low, rngs, code, ptr, table, vtab, cst, sbuf,
+                            words, lens32)
                 return (low, rngs, code, ptr, table, cst, sbuf, words,
                         lens32)
 
+            if warm:
+                (low, rngs, code, ptr, table, vtab, cst, sbuf, words,
+                 lens32) = jax.lax.fori_loop(
+                    0, K, symstep,
+                    (low, rngs, code, ptr, table, vtab, cst, sbuf, words,
+                     lens32))
+                return (low, rngs, code, ptr, table, vtab, cst, words,
+                        lens32), sbuf
             (low, rngs, code, ptr, table, cst, sbuf, words,
              lens32) = jax.lax.fori_loop(
                 0, K, symstep,
                 (low, rngs, code, ptr, table, cst, sbuf, words, lens32))
             return (low, rngs, code, ptr, table, cst, words, lens32), sbuf
 
-        carry = (low, rngs, code, ptr, table, cst0, paywords, lens0)
+        if warm:
+            carry = (low, rngs, code, ptr, table, jnp.zeros(tsize, I32),
+                     cst0, paywords, lens0)
+        else:
+            carry = (low, rngs, code, ptr, table, cst0, paywords, lens0)
         carry, sbufs = jax.lax.scan(chunk, carry, (acts, poss, resets))
         # uint8 boundary: whole-array downcast AFTER the scan (symbols fit
         # in a byte at every depth <= 8) -> 4x smaller device->host copy
@@ -685,7 +759,9 @@ def decode_stream_ll(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
         return np.zeros((S, W), dtype=np.uint8)
     Lb = max(int(payload.shape[1]), 1)
     Lb = ((Lb + 2047) // 2048) * 2048
-    pay = np.zeros((W, Lb), dtype=np.uint8)
+    # np.empty: every byte at ptr >= lane len is masked to 0 inside the
+    # decode kernel (read_bytes), so the pad region is never observed
+    pay = np.empty((W, Lb), dtype=np.uint8)
     pay[:, : payload.shape[1]] = payload
     Lw = Lb // 4
     words = pay.view("<u4").reshape(W * Lw)
@@ -713,9 +789,10 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
     if Sp == 0 or not (counts > 0).any():
         return np.zeros((S, W), dtype=np.uint8)
     # word-pack the payload (little-endian) and bucket its width
+    # (np.empty: bytes at ptr >= lane len are masked inside the kernel)
     Lb = max(int(payload.shape[1]), 1)
     Lb = ((Lb + 2047) // 2048) * 2048
-    pay = np.zeros((W, Lb), dtype=np.uint8)
+    pay = np.empty((W, Lb), dtype=np.uint8)
     pay[:, : payload.shape[1]] = payload
     Lw = Lb // 4
     words = pay.view("<u4").reshape(W * Lw)
@@ -832,7 +909,7 @@ def decode_seq_qual_raw(seq_geom, qual_geom,
                                        qual_lens)):
         Lb = max(int(payload.shape[1]), 1)
         Lb = ((Lb + 2047) // 2048) * 2048
-        pay = np.zeros((W, Lb), dtype=np.uint8)
+        pay = np.empty((W, Lb), dtype=np.uint8)  # kernel masks past-end
         pay[:, : payload.shape[1]] = payload
         Lw = Lb // 4
         words = pay.view("<u4").reshape(W * Lw)
@@ -845,5 +922,8 @@ def decode_seq_qual_raw(seq_geom, qual_geom,
         seq_flat, qual_flat = pack_jax.unpack_pair_device(
             dev_syms[0], dev_syms[1], rec_starts, lengths, W, total,
             seq_map, qual_bias)
+    # seq gets a writable copy (seqx_apply patches it in place); qual is
+    # only ever read (fastq_assemble) — the trimmed view saves a ~6.5 MB
+    # copy per block
     return (np.asarray(seq_flat)[:total].copy(),
-            np.asarray(qual_flat)[:total].copy())
+            np.asarray(qual_flat)[:total])

@@ -126,6 +126,9 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
     Sp = R.pad_steps(S)
     counts = np.asarray(counts)
     table = R.table_init(tsize, sac_base)
+    rate_lo = getattr(geom, "rate_lo", 0)
+    vtable = (np.zeros(tsize, dtype=np.int32)
+              if 0 < rate_lo < rate else None)
     enc = R.LaneEncoder(W, R.worst_case_bytes(Sp * depth))
     ctxer = _CTX[kind](geom, W)
     z = np.zeros(W, dtype=U32)
@@ -137,7 +140,8 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
         ctx = np.where(active, ctx, U32(num_ctx))
         sym = (np.where(active, syms[t], 0).astype(U32)
                if t < S else z)
-        R.encode_symbols(enc, table, ctx, sym, depth, rate, sac_base)
+        R.encode_symbols(enc, table, ctx, sym, depth, rate, sac_base,
+                         vtable=vtable, rate_lo=rate_lo)
         ctxer.advance(sym)
     enc.flush()
     lens = np.where(counts > 0, enc.ptr, 0).astype(np.int64)
@@ -156,6 +160,9 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
     Sp = R.pad_steps(S)
     counts = np.asarray(counts)
     table = R.table_init(tsize, sac_base)
+    rate_lo = getattr(geom, "rate_lo", 0)
+    vtable = (np.zeros(tsize, dtype=np.int32)
+              if 0 < rate_lo < rate else None)
     dec = R.LaneDecoder(payload, lens)
     ctxer = _CTX[kind](geom, W)
     out = np.zeros((S, W), dtype=U32)
@@ -166,7 +173,8 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
         r_t = reset[t] if reset is not None and t < S else z
         ctx = ctxer.step_ctx(t, p_t, r_t)
         ctx = np.where(active, ctx, U32(num_ctx))
-        sym = R.decode_symbols(dec, table, ctx, depth, rate, sac_base)
+        sym = R.decode_symbols(dec, table, ctx, depth, rate, sac_base,
+                               vtable=vtable, rate_lo=rate_lo)
         sym = np.where(active, sym, U32(0))
         if t < S:
             out[t] = sym

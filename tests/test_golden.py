@@ -5,9 +5,9 @@ CNT_SHIFT, the pad-coding rule, the update law, config.py level geometries,
 container.py framing) fails here even when round-trip tests still pass —
 old containers in the wild would stop decoding.
 
-Fixtures live in tests/data/; golden_v3_l*.sfq pin the current format,
-golden_v1.* / golden_v2_l*.sfq pin backward decode compatibility with
-round-1 / round-2 containers.
+Fixtures live in tests/data/; golden_v4_l*.sfq pin the current format,
+golden_v1.* / golden_v2_l*.sfq / golden_v3_l*.sfq pin backward decode
+compatibility with round-1 / round-2 containers.
 """
 
 import io
@@ -59,7 +59,7 @@ def test_container_golden_per_level(level):
     """Whole-container bytes are pinned per level (container framing +
     every stream's coded bytes)."""
     data = _read("golden_v2.fastq")
-    golden = _read(f"golden_v3_l{level}.sfq")
+    golden = _read(f"golden_v4_l{level}.sfq")
     enc = encode_fastq(data, level=level, lanes=32, aux_lanes=8,
                        block_records=160, use_native=False)
     assert enc == golden, \
@@ -75,17 +75,22 @@ def test_container_golden_native_matches():
     data = _read("golden_v2.fastq")
     enc = encode_fastq(data, level=3, lanes=32, aux_lanes=8,
                        block_records=160, use_native=True)
-    assert enc == _read("golden_v3_l3.sfq")
+    assert enc == _read("golden_v4_l3.sfq")
 
 
-def test_v3_round2_l4_geometry_still_decodes():
-    """Round-2 L4 containers (seq rate 3 — the pre-round-3 level table)
-    decode bit-exactly: geometry is serialized in the v2+ header, so a
-    LEVELS-table change must never break old containers."""
-    old = _read("golden_v3r2_l4.sfq")
+@pytest.mark.parametrize(
+    "level", [3] + [pytest.param(lv, marks=pytest.mark.slow)
+                    for lv in (1, 2, 4)])
+def test_v3_container_still_decodes(level):
+    """Round-2-shipped VERSION 3 containers decode bit-exactly at every
+    level: v4 framing minus the two warm-up geometry bytes, rate_lo = 0
+    (no visit-count warm-up) — a LEVELS-table change must never break
+    old containers (their geometry rides the header)."""
+    old = _read(f"golden_v3_l{level}.sfq")
     f = io.BytesIO(old)
     cfg = container.read_header(f)
-    assert cfg.fmt == 3 and cfg.level == 4 and cfg.seq.rate == 3
+    assert cfg.fmt == 3 and cfg.level == level
+    assert cfg.qual.rate_lo == 0 and cfg.seq.rate_lo == 0
     ref = _read("golden_v2.fastq")
     assert decode_fastq(old, use_native=False) == ref
     from slimfastq_tpu import native
@@ -144,7 +149,10 @@ def test_frozen_constants():
     assert (R.PROB_BITS, R.PROB_MIN, R.PROB_MAX) == (12, 16, 4080)
     assert (R.RENORM_ITERS, R.FLUSH_BYTES, R.STEP_BUCKET) == (4, 4, 256)
     assert (R.CAP_LOG2, R.CNT_SHIFT) == (4, 22)
-    assert container.VERSION == 3
+    # VERSION 4 (round 3): visit-count adaptation warm-up — two geometry
+    # bytes (qual.rate_lo, seq.rate_lo) appended to the header; the
+    # warm-up law is frozen in ranger_np.table_update's docstring
+    assert container.VERSION == 4
 
 
 def test_reencode_with_legacy_cfg_stamps_matching_version():

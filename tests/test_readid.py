@@ -101,7 +101,7 @@ def test_v3_prologue_and_lane_chains_pin():
                            backend=streams_np, use_native=False)
     f = io.BytesIO(enc)
     cfg = container.read_header(f)
-    assert cfg.fmt == 3
+    assert cfg.fmt >= 3  # v4 keeps the v3 lane-local baseline rule
     blk = container.read_block(f, cfg.fmt)
     # only record 0 is an absolute ID (varint(2) + b"r0" = 3 raw symbols
     # in the exception stream): every other record delta-chains
