@@ -565,9 +565,9 @@ def phase_decode() -> int:
             return self.plain.pop(0)
 
         def decode_seq_qual_raw(self, *a, **k):
-            # seq: fresh copy (decode_block_fast patches SEQX in place);
-            # qual: read-only view — mirrors streams_jax.decode_seq_qual_raw
-            return seq_flat.copy(), qual_flat
+            # read-only views, mirroring streams_jax.decode_seq_qual_raw
+            # (SEQX patches land in the assembled output, not here)
+            return seq_flat, qual_flat
 
     dt, cold, out = _timeit_host(
         lambda: decode_block_fast(blk, cfg, _Shim()))

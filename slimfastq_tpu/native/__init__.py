@@ -73,6 +73,8 @@ def _load():
     lib.ids_decode.argtypes = [i64, i64, i64, p8, pp8, pi64, pp8, pi64,
                                p8, i64, pi64, pi64, p8, i64, pi64, pi64,
                                pi64]
+    lib.flags_reorder.restype = None
+    lib.flags_reorder.argtypes = [p8, i64, i64, p8]
     lib.fastq_assemble.restype = i64
     lib.fastq_assemble.argtypes = [i64, p8, pi64, pi64, p8, pi64, p8,
                                    pi64, p8, pi64, pi64, p8, i64]
@@ -482,10 +484,16 @@ def minmax_ranges(src: np.ndarray, offs: np.ndarray, lens: np.ndarray):
 
 def fastq_assemble(n: int, id_arena, id_off, id_len, seq_buf, seq_off,
                    qual_buf, lengths, plus_arena, plus_off,
-                   plus_len) -> memoryview:
+                   plus_len, sx_lanes=None, fmt: int = 3) -> memoryview:
     """Returns a zero-copy memoryview of the assembled FASTQ bytes (the
     earlier np.zeros + .tobytes() pattern cost ~19 ms per 16 MB block:
-    a full zeroing pass plus a full copy)."""
+    a full zeroing pass plus a full copy).
+
+    sx_lanes: optional SEQX exception lane streams — patched into the
+    ASSEMBLED output's seq fields (offsets are closed-form from the
+    record layout), so `seq_buf` can be a read-only view and the caller
+    never pays a writable copy of the sequence bytes just to patch a
+    handful of exception runs."""
     cap = int(id_len.sum() + plus_len.sum() + 2 * lengths.sum() + 5 * n + 16)
     out = np.empty(cap, dtype=np.uint8)
     r = lib.fastq_assemble(n, _p8(id_arena), _pi64(id_off), _pi64(id_len),
@@ -494,4 +502,20 @@ def fastq_assemble(n: int, id_arena, id_off, id_len, seq_buf, seq_off,
                            _pi64(plus_len), _p8(out), cap)
     if r < 0:
         raise RuntimeError("fastq_assemble overflow")
+    if sx_lanes is not None and any(len(b) for b in sx_lanes) and n:
+        lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+        sizes = 5 + np.asarray(id_len) + 2 * lengths + np.asarray(plus_len)
+        op = np.empty(n, dtype=np.int64)
+        op[0] = 0
+        np.cumsum(sizes[:-1], out=op[1:])
+        out_seq_off = op + 2 + id_len   # '@' + id + '\n'
+        seqx_apply(sx_lanes, fmt, n, out_seq_off, lengths, out)
     return memoryview(out[:r].data)
+
+
+def flags_reorder(grouped: np.ndarray, n: int, wa: int) -> np.ndarray:
+    """Lane-grouped flag triples -> record-order [3n] (C++ gather; the
+    NumPy fancy-index scatter cost ~0.9 ms per 64k block)."""
+    out = np.empty(3 * max(n, 1), dtype=np.uint8)
+    lib.flags_reorder(_p8(np.ascontiguousarray(grouped)), n, wa, _p8(out))
+    return out[: 3 * n]

@@ -1051,6 +1051,24 @@ int64_t ids_decode(int64_t n, int64_t wa, int64_t prev_step,
 // decode-side FASTQ text assembly:
 // '@' id '\n' seq '\n' plus '\n' qual '\n' per record.
 // ---------------------------------------------------------------------------
+// Lane-grouped flag triples -> record order: record r (lane w = r % wa,
+// chain position i = r / wa) reads grouped row base[w] + i. One parallel
+// gather pass (the NumPy fancy-index scatter this replaces cost ~0.9 ms
+// at 64k records).
+void flags_reorder(const uint8_t* grouped, int64_t n, int64_t wa,
+                   uint8_t* out) {
+    std::vector<int64_t> base(wa + 1, 0);
+    for (int64_t w = 0; w < wa; w++)
+        base[w + 1] = base[w] + (n > w ? (n - w + wa - 1) / wa : 0);
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; r++) {
+        int64_t g = base[r % wa] + r / wa;
+        out[3 * r] = grouped[3 * g];
+        out[3 * r + 1] = grouped[3 * g + 1];
+        out[3 * r + 2] = grouped[3 * g + 2];
+    }
+}
+
 int64_t fastq_assemble(int64_t n,
                        const uint8_t* id_arena, const int64_t* id_off,
                        const int64_t* id_len,

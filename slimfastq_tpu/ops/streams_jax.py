@@ -922,8 +922,8 @@ def decode_seq_qual_raw(seq_geom, qual_geom,
         seq_flat, qual_flat = pack_jax.unpack_pair_device(
             dev_syms[0], dev_syms[1], rec_starts, lengths, W, total,
             seq_map, qual_bias)
-    # seq gets a writable copy (seqx_apply patches it in place); qual is
-    # only ever read (fastq_assemble) — the trimmed view saves a ~6.5 MB
-    # copy per block
-    return (np.asarray(seq_flat)[:total].copy(),
+    # both are read-only views: SEQX exception runs are patched into the
+    # assembled FASTQ output (native.fastq_assemble), never into these
+    # buffers — saves two ~6.5 MB copies per block
+    return (np.asarray(seq_flat)[:total],
             np.asarray(qual_flat)[:total])

@@ -83,12 +83,13 @@ def _from_lane_streams(syms: np.ndarray, counts: np.ndarray) -> list[bytes]:
 
 
 def _lane_lengths_matrix(lengths: np.ndarray, W: int) -> np.ndarray:
-    """[Rpl, W] per-lane record lengths, 0-padded."""
+    """[Rpl, W] per-lane record lengths, 0-padded. Record r lands at
+    (r // W, r % W), which flattens to index r — a pad + reshape (the
+    2-D fancy-index scatter this replaces cost ~0.6 ms at 64k)."""
     n = len(lengths)
     Rpl = (n + W - 1) // W if n else 0
     mat = np.zeros((Rpl, W), dtype=np.int64)
-    idx = np.arange(n)
-    mat[idx // W, idx % W] = lengths
+    mat.reshape(-1)[:n] = lengths
     return mat
 
 

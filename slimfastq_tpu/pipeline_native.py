@@ -271,12 +271,10 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
     fcounts = 3 * rec_per_lane
     flag_lanes = dec_lanes("FLAG", kind="flag", geom=cfg.flags,
                            counts=fcounts)
-    # back to record order: lane-grouped triples -> [n, 3]
-    forder = _group_order(n, Wa)
+    # back to record order: lane-grouped triples -> [n, 3] (C++ gather)
     f_grouped = np.concatenate([fl for fl in flag_lanes]) if n else \
         np.zeros(0, np.uint8)
-    flags = np.zeros(3 * n, dtype=np.uint8)
-    flags.reshape(n, 3)[forder] = f_grouped.reshape(n, 3)
+    flags = native.flags_reorder(f_grouped, n, Wa)
 
     # 3. ID delta/exception streams (the chain decode itself is in the
     # finish half)
@@ -350,12 +348,14 @@ def decode_block_finish(inter, cfg: CodecConfig) -> memoryview | bytes:
      rec_starts, seq_bytes, qual_bytes) = inter
     ida, ioff, ilen, pla, poff, plen = native.ids_decode(
         n, cfg.aux_lanes, flags, idd_lanes, idx_lanes, prev_step)
-    native.seqx_apply(sx_lanes, cfg.fmt, n, rec_starts, lengths, seq_bytes)
+    # SEQX exception runs are patched into the ASSEMBLED output's seq
+    # fields (closed-form offsets), so seq/qual stay read-only views —
+    # no 6.5 MB writable copy per block just to patch a few runs
     return native.fastq_assemble(
         n, ida, ioff, ilen,
         np.ascontiguousarray(seq_bytes), rec_starts,
         np.ascontiguousarray(qual_bytes), lengths,
-        pla, poff, plen)
+        pla, poff, plen, sx_lanes=sx_lanes, fmt=cfg.fmt)
 
 
 def decode_block_fast(blk: EncodedBlock, cfg: CodecConfig,
