@@ -45,6 +45,15 @@ Protocol notes (pinned; BASELINE.md "Bench protocol"):
   on a host that encodes many blocks — the first block additionally
   pays one-time .so build / OpenMP spin-up, reported as
   host_cold_extra_s);
+- a phase whose med/min spread stays > 3x after the in-process
+  re-measures is rerun in a FRESH subprocess (fresh tunnel session) up
+  to SFQ_BENCH_PHASE_RETRIES (default 2) more times; if no attempt gets
+  below 3x the summary carries "degraded": true — a degraded run is
+  visibly unusable rather than silently recorded;
+- a fifth CPU-only subprocess times ONE real encode_fastq+decode_fastq
+  wall clock (wallclock_gbps_cpu_backend): the un-synthesized anchor
+  for the per-stage sum (kernels run on the host cores there, so it
+  lower-bounds the production figure — BASELINE.md explains the delta);
 - the decode phase round-trip-verifies its output against the input, so
   the timed path is pinned to the real bit format;
 - `python bench.py table` prints the BASELINE.md per-config table.
@@ -64,6 +73,7 @@ import time
 
 WORKDIR = os.environ.get("SFQ_BENCH_TMP") or tempfile.mkdtemp(
     prefix="sfq_bench_")
+os.makedirs(WORKDIR, exist_ok=True)
 ITERS = int(os.environ.get("SFQ_BENCH_ITERS", 3))
 MODE = os.environ.get("SFQ_BENCH_MODE", "tpu")   # "cpu" | "tpu" pass
 
@@ -583,21 +593,146 @@ def phase_decode() -> int:
     return 0
 
 
+class _ReplayBackend:
+    """Record/replay wrapper around a streams backend: in "record" mode
+    every kernel-entry call runs for real and its output is taped; in
+    "replay" mode outputs are served from the tape in call order (the
+    api pipeline's backend call order is deterministic: all device calls
+    happen on the main thread, block by block). Replay makes the kernel
+    share of a wall-clock run ~free, so the measured wall time is the
+    HOST pipeline — parsing, modelling, container IO, assembly, thread
+    handoffs — under real single-process contention. summarize() adds
+    the separately-measured TPU kernel seconds back in."""
+
+    def __init__(self, real):
+        self._real = real
+        self._tape: dict[str, list] = {}
+        self._fifo: dict[str, list] = {}
+        self.mode = "record"
+
+    def start_replay(self):
+        self.mode = "replay"
+        self._fifo = {k: list(v) for k, v in self._tape.items()}
+
+    def _call(self, name, *args, **kw):
+        if self.mode == "record":
+            out = getattr(self._real, name)(*args, **kw)
+            self._tape.setdefault(name, []).append(out)
+            return out
+        return self._fifo[name].pop(0)
+
+    # the exact surface pipeline_native/pipeline probe with hasattr()
+    def encode_stream(self, *a, **k):
+        return self._call("encode_stream", *a, **k)
+
+    def encode_stream_ll(self, *a, **k):
+        return self._call("encode_stream_ll", *a, **k)
+
+    def encode_seq_qual_raw(self, *a, **k):
+        return self._call("encode_seq_qual_raw", *a, **k)
+
+    def decode_stream(self, *a, **k):
+        return self._call("decode_stream", *a, **k)
+
+    def decode_stream_ll(self, *a, **k):
+        return self._call("decode_stream_ll", *a, **k)
+
+    def decode_seq_qual_raw(self, *a, **k):
+        return self._call("decode_seq_qual_raw", *a, **k)
+
+
+def phase_wall() -> int:
+    """Single-process wall-clock anchor (round-3 VERDICT #3): time real
+    api.encode_fastq + decode_fastq invocations of the pinned shape, in
+    THIS process, wall clock — no per-stage synthesis. Two figures:
+
+    - wall_cpu_*: one full invocation with the JAX kernels executing on
+      the host cores (CPU backend). Real but kernel-dominated here —
+      the coder scan that takes ~8 ms on the chip takes ~45 s on CPU —
+      so it lower-bounds production throughput by orders of magnitude.
+    - wall_host_*: the same invocations with kernel outputs replayed
+      from a tape (recorded in the timed cpu run), so the wall clock
+      measures everything EXCEPT kernels: the whole host pipeline under
+      real contention. summarize() adds the TPU pass's measured kernel
+      seconds to form value_wallclock_anchored — the un-synthesized
+      check on the min-of-stages headline."""
+    from slimfastq_tpu.api import decode_fastq, encode_fastq
+    from slimfastq_tpu.ops import streams_jax
+
+    reads, read_len, level, cfg = _cfg()
+    data = _data(reads, read_len)
+    kw = dict(lanes=cfg.lanes, aux_lanes=cfg.aux_lanes,
+              block_records=cfg.block_records)
+    back = _ReplayBackend(streams_jax)
+    # warm-up: compile every kernel + build the .so (untimed)
+    enc = encode_fastq(data, level=level, backend=streams_jax, **kw)
+    out = decode_fastq(enc, backend=streams_jax)
+    assert out == data, "wall-clock round-trip mismatch"
+    # one REAL timed invocation (records the tape as a side effect)
+    t0 = pc()
+    enc = encode_fastq(data, level=level, backend=back, **kw)
+    wall_cpu_e = pc() - t0
+    t0 = pc()
+    out = decode_fastq(enc, backend=back)
+    wall_cpu_d = pc() - t0
+    assert out == data, "wall-clock round-trip mismatch"
+    # replay runs: kernels served from the tape -> host-pipeline wall
+    es, ds = [], []
+    for _ in range(max(ITERS, 3)):
+        back.start_replay()
+        t0 = pc()
+        enc2 = encode_fastq(data, level=level, backend=back, **kw)
+        es.append(pc() - t0)
+        t0 = pc()
+        out = decode_fastq(enc2, backend=back)
+        ds.append(pc() - t0)
+        assert enc2 == enc and out == data, "replay mismatch"
+    best_e, best_d = min(es), min(ds)
+    med = (sorted(es)[len(es) // 2] + sorted(ds)[len(ds) // 2])
+    t = {"wall_cpu_encode_s": wall_cpu_e, "wall_cpu_decode_s": wall_cpu_d,
+         "wall_host_encode_s": best_e, "wall_host_decode_s": best_d,
+         "raw": len(data),
+         "spread": round(med / max(best_e + best_d, 1e-9), 3)}
+    with open(os.path.join(WORKDIR, "wall.json"), "w") as f:
+        json.dump(t, f)
+    return 0
+
+
+def _cpu_env(base):
+    env = dict(base, SFQ_BENCH_MODE="cpu", JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if "axon" not in p)
+    return env
+
+
 def run_phases():
-    """Four subprocesses: (cpu-enc, cpu-dec) for clean host-stage timing,
-    (tpu-enc, tpu-dec) for kernel timing. Asserts the two passes wrote
-    byte-identical containers. Returns (host_enc, host_dec, dev_enc,
-    dev_dec) timing dicts."""
+    """Subprocess phases: (cpu-enc, cpu-dec) for clean host-stage timing,
+    (tpu-enc, tpu-dec) for kernel timing, plus a cpu-only wall phase (one
+    real encode_fastq+decode_fastq wall-clock anchor). Asserts the cpu
+    and tpu passes wrote byte-identical containers.
+
+    Degradation guard (round-3 VERDICT #2): a phase whose recorded
+    med/min spread still exceeds 3x after _timeit's in-process
+    re-measures gets rerun in a FRESH subprocess (fresh tunnel session /
+    fresh host state) up to SFQ_BENCH_PHASE_RETRIES more times; the
+    attempt with the lowest spread wins (containers are deterministic,
+    so attempts are interchangeable). A phase that never gets below 3x
+    marks the run degraded in summarize().
+
+    Returns (host_enc, host_dec, dev_enc, dev_dec, wall) timing dicts."""
     base = dict(os.environ, SFQ_BENCH_TMP=WORKDIR)
     timeout_s = int(os.environ.get("SFQ_BENCH_PHASE_TIMEOUT", 2400))
-    for mode in ("cpu", "tpu"):
-        env = dict(base, SFQ_BENCH_MODE=mode)
-        if mode == "cpu":
-            env["JAX_PLATFORMS"] = "cpu"
-            env["PYTHONPATH"] = os.pathsep.join(
-                p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-                if "axon" not in p)
-        for ph in ("enc", "dec"):
+    retries = int(os.environ.get("SFQ_BENCH_PHASE_RETRIES", 2))
+    plan = [("cpu", "enc"), ("cpu", "dec"), ("tpu", "enc"),
+            ("tpu", "dec"), ("cpu", "wall")]
+    for mode, ph in plan:
+        env = _cpu_env(base) if mode == "cpu" else dict(
+            base, SFQ_BENCH_MODE=mode)
+        jpath = os.path.join(
+            WORKDIR, f"{ph}_{mode}.json" if ph != "wall" else "wall.json")
+        best = None
+        for attempt in range(1 + retries):
             try:
                 # the timeout guards against a wedged device tunnel: a
                 # hung TPU phase must fail the run, not hang the driver
@@ -610,6 +745,16 @@ def run_phases():
                     "(device tunnel hung?)")
             if r.returncode != 0:
                 raise RuntimeError(f"phase {mode}/{ph} failed")
+            with open(jpath) as f:
+                res = json.load(f)
+            spread = res.get("spread", 1.0)
+            res["phase_attempts"] = attempt + 1
+            if best is None or spread < best.get("spread", 1.0):
+                best = res
+            if spread <= 3.0:
+                break
+        with open(jpath, "w") as f:
+            json.dump(best, f)
     with open(os.path.join(WORKDIR, "bench_cpu.sfq"), "rb") as f:
         cpu_bytes = f.read()
     with open(os.path.join(WORKDIR, "bench_tpu.sfq"), "rb") as f:
@@ -622,12 +767,15 @@ def run_phases():
         for ph in ("enc", "dec"):
             with open(os.path.join(WORKDIR, f"{ph}_{mode}.json")) as f:
                 out.append(json.load(f))
+    with open(os.path.join(WORKDIR, "wall.json")) as f:
+        out.append(json.load(f))
     return tuple(out)
 
 
-def summarize(enc, dec, denc, ddec, level):
+def summarize(enc, dec, denc, ddec, level, wall=None):
     """Host stages from the cpu pass (enc, dec); device kernels and
-    tunnel transfers from the tpu pass (denc, ddec)."""
+    tunnel transfers from the tpu pass (denc, ddec); wall-clock anchor
+    from the wall pass."""
     raw = enc["raw"]
     # compaction host cost: when the TPU pass ran the Pallas device
     # compactor, the deployment's host work is only the flush append
@@ -650,7 +798,13 @@ def summarize(enc, dec, denc, ddec, level):
     xfer_bytes = (denc.get("h2d_bytes", 0) + denc.get("d2h_bytes", 0)
                   + ddec.get("h2d_bytes", 0) + ddec.get("d2h_bytes", 0))
     pcie_s = xfer_bytes / (PCIE_GBPS * 1e9)
-    return {
+    spreads = {
+        "enc_cpu": enc.get("spread", 1.0),
+        "dec_cpu": dec.get("spread", 1.0),
+        "enc_tpu": denc.get("spread", 1.0),
+        "dec_tpu": ddec.get("spread", 1.0),
+    }
+    out = {
         "metric": "fastq_encode_decode_e2e_throughput",
         "value": round(2 * raw / e2e / 1e9, 4),
         "unit": "GB/s",
@@ -658,11 +812,16 @@ def summarize(enc, dec, denc, ddec, level):
         "value_with_pcie_at_10gbps": round(2 * raw / (e2e + pcie_s) / 1e9,
                                            4),
         "pcie_estimate_s": round(pcie_s, 5),
-        "timing_spread_med_over_min": {
-            "enc_cpu": enc.get("spread", 1.0),
-            "dec_cpu": dec.get("spread", 1.0),
-            "enc_tpu": denc.get("spread", 1.0),
-            "dec_tpu": ddec.get("spread", 1.0),
+        # a run whose timings never stabilised (any phase still > 3x
+        # med/min after the in-process re-measures AND the fresh-
+        # subprocess retries) is visibly unusable, not silently recorded
+        "degraded": any(s > 3.0 for s in spreads.values()),
+        "timing_spread_med_over_min": spreads,
+        "phase_attempts": {
+            "enc_cpu": enc.get("phase_attempts", 1),
+            "dec_cpu": dec.get("phase_attempts", 1),
+            "enc_tpu": denc.get("phase_attempts", 1),
+            "dec_tpu": ddec.get("phase_attempts", 1),
         },
         "raw_bytes": raw,
         "compressed_bytes": enc["compressed"],
@@ -708,6 +867,33 @@ def summarize(enc, dec, denc, ddec, level):
             "unpack": round(ddec["dev_unpack"], 5),
         },
     }
+    if wall is not None:
+        # measured single-process wall-clock anchors (round-3 VERDICT
+        # #3): (a) one real CPU-backend invocation, (b) the host
+        # pipeline with kernels replayed from a tape + the TPU pass's
+        # measured kernel seconds — the un-synthesized sanity check on
+        # the min-of-stages headline (delta discussed in BASELINE.md).
+        w_cpu = wall["wall_cpu_encode_s"] + wall["wall_cpu_decode_s"]
+        w_host = wall["wall_host_encode_s"] + wall["wall_host_decode_s"]
+        out.update({
+            "wallclock_gbps_cpu_backend": round(2 * raw / w_cpu / 1e9, 5),
+            "wallclock_cpu_encode_s": round(wall["wall_cpu_encode_s"], 5),
+            "wallclock_cpu_decode_s": round(wall["wall_cpu_decode_s"], 5),
+            "wallclock_host_encode_s": round(wall["wall_host_encode_s"],
+                                             5),
+            "wallclock_host_decode_s": round(wall["wall_host_decode_s"],
+                                             5),
+            "value_wallclock_anchored": round(
+                2 * raw / (w_host + dev) / 1e9, 4),
+            "wallclock_note": "cpu_backend = one real invocation with "
+                              "kernels ON the host cores (real, slow); "
+                              "anchored = host-pipeline wall clock "
+                              "(kernels replayed) + measured TPU kernel "
+                              "seconds (BASELINE.md)",
+        })
+        if wall.get("spread", 1.0) > 3.0:
+            out["degraded"] = True
+    return out
 
 
 def main() -> int:
@@ -716,6 +902,8 @@ def main() -> int:
         return phase_encode()
     if phase == "dec":
         return phase_decode()
+    if phase == "wall":
+        return phase_wall()
 
     if len(sys.argv) > 1 and sys.argv[1] == "table":
         # BASELINE.md protocol table: per-config rows
@@ -725,8 +913,8 @@ def main() -> int:
             os.environ["SFQ_BENCH_READS"] = str(reads)
             os.environ["SFQ_BENCH_LEN"] = str(length)
             os.environ["SFQ_BENCH_LEVEL"] = str(level)
-            enc, dec, denc, ddec = run_phases()
-            s = summarize(enc, dec, denc, ddec, level)
+            enc, dec, denc, ddec, wall = run_phases()
+            s = summarize(enc, dec, denc, ddec, level, wall)
             rows.append((reads, length, level, s))
             print(f"| {reads} | {length} | {level} | {s['value']} | "
                   f"{s['device_gbps']} | {s['ratio']} | "
@@ -737,7 +925,7 @@ def main() -> int:
     import jax
     reads, read_len, level, cfg = _cfg()
     try:
-        enc, dec, denc, ddec = run_phases()
+        enc, dec, denc, ddec, wall = run_phases()
     except RuntimeError as e:
         out = {"metric": "fastq_encode_decode_e2e_throughput",
                "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
@@ -758,7 +946,7 @@ def main() -> int:
             pass
         print(json.dumps(out))
         return 1
-    out = summarize(enc, dec, denc, ddec, level)
+    out = summarize(enc, dec, denc, ddec, level, wall)
     out["platform"] = jax.devices()[0].platform
     out["reads"] = reads
     out["read_len"] = read_len

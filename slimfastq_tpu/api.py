@@ -7,6 +7,8 @@ pipeline. Both produce byte-identical containers (tested)."""
 from __future__ import annotations
 
 import io
+import os
+from collections import deque
 
 import numpy as np
 
@@ -20,6 +22,13 @@ from .utils.fastq import FastqBatch, parse_fastq_bytes, serialize_fastq
 def _batch_slice(b: FastqBatch, lo: int, hi: int) -> FastqBatch:
     return FastqBatch(b.ids[lo:hi], b.seqs[lo:hi], b.pluses[lo:hi],
                       b.quals[lo:hi])
+
+
+def _pipe_depth() -> int:
+    """Blocks of host work kept in flight ahead of the device in the
+    staged encode/decode pipelines (>= 2 overlaps host and device across
+    block boundaries; SFQ_PIPE_DEPTH=1 restores the two-stage shape)."""
+    return max(1, int(os.environ.get("SFQ_PIPE_DEPTH", "2")))
 
 
 def encode_fastq(data: bytes, cfg: CodecConfig | None = None,
@@ -39,18 +48,31 @@ def encode_fastq(data: bytes, cfg: CodecConfig | None = None,
         idx, n = native.fastq_index(data)
         ranges = [(lo, min(lo + cfg.block_records, n))
                   for lo in range(0, max(n, 1), cfg.block_records)]
-        # two-stage pipeline: host-prep block k+1 (C++/NumPy, releases
-        # the GIL) while block k is coded on the device and written
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(prepare_block_fast, buf, idx, *ranges[0],
-                            cfg, backend)
+        # three-stage pipeline (prep || device || write): a prep pool
+        # keeps up to `depth` blocks of host modelling (C++/NumPy,
+        # releases the GIL) in flight ahead of the device; the main
+        # thread codes blocks on the (single) device serially; a
+        # one-worker writer executor overlaps container framing/CRC/IO
+        # with the next block's device work. FIFO submission to the
+        # 1-worker writer preserves block order, so the container is
+        # byte-identical to the serial path.
+        depth = _pipe_depth()
+        with ThreadPoolExecutor(max_workers=depth) as prep_ex, \
+                ThreadPoolExecutor(max_workers=1) as write_ex:
+            pfuts = deque(prep_ex.submit(prepare_block_fast, buf, idx,
+                                         *ranges[j], cfg, backend)
+                          for j in range(min(depth, len(ranges))))
+            wfuts = []
             for i, _ in enumerate(ranges):
-                pre = fut.result()
-                if i + 1 < len(ranges):
-                    fut = ex.submit(prepare_block_fast, buf, idx,
-                                    *ranges[i + 1], cfg, backend)
+                pre = pfuts.popleft().result()
+                if i + depth < len(ranges):
+                    pfuts.append(prep_ex.submit(
+                        prepare_block_fast, buf, idx, *ranges[i + depth],
+                        cfg, backend))
                 blk = encode_prepared_block(pre, cfg, backend)
-                offsets.append(container.write_block(out, blk))
+                wfuts.append(write_ex.submit(container.write_block, out,
+                                             blk))
+            offsets = [wf.result() for wf in wfuts]
     else:
         batch = parse_fastq_bytes(data)
         for lo in range(0, max(len(batch), 1), cfg.block_records):
@@ -73,17 +95,28 @@ def decode_fastq(data: bytes, backend=streams_np,
         from concurrent.futures import ThreadPoolExecutor
         from .pipeline_native import (decode_block_device,
                                       decode_block_finish)
-        # two-stage pipeline: block k's host finish (ID chain decode +
-        # assembly, releases the GIL) overlaps block k+1's device decode
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = None
-            for blk in container.iter_blocks(f, cfg):
+        # three-stage pipeline (read || device || finish): a one-worker
+        # reader prefetches block k+1's container bytes while block k is
+        # on the device; up to `depth` host finishes (ID chain decode +
+        # assembly, release the GIL) run behind the device. Results are
+        # collected in submission order.
+        depth = _pipe_depth()
+        with ThreadPoolExecutor(max_workers=depth) as fin_ex, \
+                ThreadPoolExecutor(max_workers=1) as read_ex:
+            gen = container.iter_blocks(f, cfg)
+            rfut = read_ex.submit(next, gen, None)
+            futs = deque()
+            while True:
+                blk = rfut.result()
+                if blk is None:
+                    break
+                rfut = read_ex.submit(next, gen, None)
                 inter = decode_block_device(blk, cfg, backend)
-                if fut is not None:
-                    parts.append(fut.result())
-                fut = ex.submit(decode_block_finish, inter, cfg)
-            if fut is not None:
-                parts.append(fut.result())
+                futs.append(fin_ex.submit(decode_block_finish, inter, cfg))
+                while len(futs) > depth:
+                    parts.append(futs.popleft().result())
+            while futs:
+                parts.append(futs.popleft().result())
     else:
         for blk in container.iter_blocks(f, cfg):
             parts.append(serialize_fastq(decode_block(blk, cfg,
@@ -163,15 +196,38 @@ def encode_file_streaming(src: str, dst: str, level: int = 3,
     if native.available():
         # production path: index + native block pipeline over the shared
         # bounded-chunk block walk (block boundaries match the
-        # non-streaming encode exactly)
-        from .pipeline_native import encode_block_fast
+        # non-streaming encode exactly), staged as prep || device ||
+        # append (same three-stage shape as encode_fastq; memory stays
+        # bounded at `depth` prepared blocks + one chunk)
+        from concurrent.futures import ThreadPoolExecutor
+        from .pipeline_native import (encode_prepared_block,
+                                      prepare_block_fast)
+        depth = _pipe_depth()
         seen = 0
-        for buf, idx, lo, hi in iter_block_ranges_native(src, cfg,
-                                                         chunk_bytes):
-            g_hi = seen + (hi - lo)
-            if g_hi > skip_records:  # else: already in the resumed output
-                w.append(encode_block_fast(buf, idx, lo, hi, cfg, backend))
-            seen = g_hi
+        with ThreadPoolExecutor(max_workers=depth) as prep_ex, \
+                ThreadPoolExecutor(max_workers=1) as write_ex:
+            pfuts: deque = deque()
+            wfuts: deque = deque()
+
+            def _code_oldest():
+                blk = encode_prepared_block(pfuts.popleft().result(), cfg,
+                                            backend)
+                wfuts.append(write_ex.submit(w.append, blk))
+                while len(wfuts) > 2:   # surface write errors promptly
+                    wfuts.popleft().result()
+            for buf, idx, lo, hi in iter_block_ranges_native(src, cfg,
+                                                             chunk_bytes):
+                g_hi = seen + (hi - lo)
+                if g_hi > skip_records:  # else: already in resumed output
+                    pfuts.append(prep_ex.submit(prepare_block_fast, buf,
+                                                idx, lo, hi, cfg, backend))
+                    while len(pfuts) >= depth:
+                        _code_oldest()
+                seen = g_hi
+            while pfuts:
+                _code_oldest()
+            while wfuts:
+                wfuts.popleft().result()
         w.close()
         return
     carry = b""                  # partial-record and leftover-record bytes
@@ -229,15 +285,26 @@ def decode_file_streaming(src: str, dst: str, backend=streams_np,
             from concurrent.futures import ThreadPoolExecutor
             from .pipeline_native import (decode_block_device,
                                           decode_block_finish)
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                fut = None
-                for blk in container.iter_blocks(f, cfg):
+            # read || device || finish, bounded at `depth` blocks in
+            # flight (same shape as decode_fastq)
+            depth = _pipe_depth()
+            with ThreadPoolExecutor(max_workers=depth) as fin_ex, \
+                    ThreadPoolExecutor(max_workers=1) as read_ex:
+                gen = container.iter_blocks(f, cfg)
+                rfut = read_ex.submit(next, gen, None)
+                futs: deque = deque()
+                while True:
+                    blk = rfut.result()
+                    if blk is None:
+                        break
+                    rfut = read_ex.submit(next, gen, None)
                     inter = decode_block_device(blk, cfg, backend)
-                    if fut is not None:
-                        out.write(fut.result())
-                    fut = ex.submit(decode_block_finish, inter, cfg)
-                if fut is not None:
-                    out.write(fut.result())
+                    futs.append(fin_ex.submit(decode_block_finish, inter,
+                                              cfg))
+                    while len(futs) > depth:
+                        out.write(futs.popleft().result())
+                while futs:
+                    out.write(futs.popleft().result())
         else:
             for blk in container.iter_blocks(f, cfg):
                 out.write(serialize_fastq(decode_block(blk, cfg,

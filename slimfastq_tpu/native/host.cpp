@@ -88,6 +88,12 @@ static void crc_init() {
     crc_init_done = true;
 }
 
+// Build the table at library load: callers may run on several pipeline
+// threads at once (api.py's staged encode/decode), and a lazy first-use
+// init would be a (benign but formally racy) double write.
+static struct CrcInitAtLoad { CrcInitAtLoad() { crc_init(); } }
+    crc_init_at_load;
+
 static uint32_t crc32_span(uint32_t crc, const uint8_t* p, int64_t len) {
     crc = ~crc;
     int64_t i = 0;
