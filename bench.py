@@ -190,7 +190,8 @@ def phase_encode() -> int:
     from slimfastq_tpu.ops import ranger_np as R
     from slimfastq_tpu.ops import streams_jax as SJ
     from slimfastq_tpu.ops import pack_jax as PJ
-    from slimfastq_tpu.pipeline import STREAMS, EncodedBlock, EncodedStream
+    from slimfastq_tpu.pipeline import (EncodedBlock, EncodedStream,
+                                        streams_for)
     from slimfastq_tpu.pipeline_native import (stream_jobs_fast,
                                                _BASE_TO_CODE_DEV)
 
@@ -207,7 +208,7 @@ def phase_encode() -> int:
     dt, cold, (idx, n) = _timeit_host(lambda: native.fastq_index(data))
     t["host_index"] = dt
     t["host_cold_extra"] += max(0.0, cold - dt)
-    dt, cold, (jobs, _, minq, qual_depth, ll_mat) = _timeit_host(
+    dt, cold, (jobs, _, minq, qual_depth, ll_mat, _extra) = _timeit_host(
         lambda: stream_jobs_fast(data, idx, 0, n, cfg,
                                  want_pos_reset=False, device_pack=True))
     t["host_prep"] = dt
@@ -260,7 +261,7 @@ def phase_encode() -> int:
     # deferred; an overflowing stream is re-coded hard, untimed, below.
     cpu_lens = _cpu_container_lens() if on_tpu else None
     per_stream = {}
-    for name in STREAMS:
+    for name in streams_for(cfg.fmt):
         kind, geom, syms, counts, pos, reset = jobs[name]
         counts = np.asarray(counts)
         use_ll = name in ("SEQ", "QUAL")
@@ -346,7 +347,7 @@ def phase_encode() -> int:
     del dev_syms
 
     streams = {}
-    for name in STREAMS:
+    for name in streams_for(cfg.fmt):
         kind, geom, syms, counts, pos, reset = jobs[name]
         counts = np.asarray(counts)
         if per_stream.get(name) is None:
@@ -415,7 +416,7 @@ def phase_decode() -> int:
     from slimfastq_tpu.ops import ranger_np as R
     from slimfastq_tpu.ops import streams_jax as SJ
     from slimfastq_tpu.ops import pack_jax as PJ
-    from slimfastq_tpu.pipeline import STREAMS, _lane_lengths_matrix
+    from slimfastq_tpu.pipeline import _lane_lengths_matrix, streams_for
     from slimfastq_tpu.pipeline_native import (decode_block_fast,
                                                _CODE_TO_BASE_FULL)
 
@@ -447,9 +448,12 @@ def phase_decode() -> int:
     scounts = ll_mat.sum(axis=0)
     Sq = int(scounts.max()) if scounts.size else 0
     rec_per_lane = (n - np.arange(Wa) + Wa - 1) // Wa
-    qgeom = replace(cfg.qual, depth=blk.qual_depth)
+    from slimfastq_tpu.pipeline import QUAL_NODELTA
+    qgeom = replace(cfg.qual, depth=blk.qual_depth,
+                    delta_bits=0 if (blk.flags & QUAL_NODELTA)
+                    else cfg.qual.delta_bits)
     specs = []   # (name, kind, geom, counts, S)
-    for name in STREAMS:
+    for name in streams_for(cfg.fmt):
         es = blk.streams[name]
         if name == "FLAG":
             kind, geom, counts = "flag", cfg.flags, 3 * rec_per_lane

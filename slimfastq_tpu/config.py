@@ -131,8 +131,16 @@ class CodecConfig:
     # length prefix. fmt=2 (round 2): ID/LEN delta baseline is the
     # globally previous record r-1 (one serial decode chain). fmt=3:
     # baseline is the aux-lane-local previous record r-Wa, making ID/LEN
-    # decode lane-parallel.
-    fmt: int = 3
+    # decode lane-parallel. fmt=4: visit-count adaptation warm-up.
+    # fmt=5: MATCH stream + per-block SEQ order fallback (models/
+    # matcher.py).
+    fmt: int = 5
+    # encoder-side only (never needed for decode — v5 blocks are
+    # self-describing via their flags byte): run the long-range read
+    # matcher and trial-code the SEQ stream with the e-transform.
+    # Costs host match-search time; pays on high-coverage data
+    # (BASELINE.md corpus table). On by default at level 4.
+    match: bool = False
     qual: QualGeom = field(default_factory=QualGeom)
     seq: SeqGeom = field(default_factory=SeqGeom)
     bytes_: ByteGeom = field(default_factory=ByteGeom)
@@ -186,7 +194,7 @@ LEVELS: dict[int, CodecConfig] = {
     # on the 500-read toy corpora, where 500 reads cannot warm an
     # order-11 table under ANY schedule (measured bound: fixed rate 1 —
     # the fastest possible adaptation — still loses to warm L3 there).
-    4: CodecConfig(level=4,
+    4: CodecConfig(level=4, match=True,
                    qual=QualGeom(q2_bits=6, delta_bits=2, pos_bits=1,
                                  pos_shift=6, rate=5, rate_lo=1),
                    seq=SeqGeom(order=11, rate=3, rate_lo=1)),

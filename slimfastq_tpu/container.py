@@ -7,6 +7,18 @@ encode/decode, ordered multi-host gather, resumable partial output, and
 bounded-memory streaming decode (SURVEY.md §5 failure detection /
 checkpoint-resume).
 
+Format VERSION 5 = VERSION 4 + the long-range read-match stream and the
+per-block SEQ order fallback (round-3 VERDICT items #4/#5):
+  * blocks carry an 8th stream, MATCH (models/matcher.py is the frozen
+    descriptor + e-transform rule); the block-header reserved u16 becomes
+    u8 flags (bit0: SEQ symbols are e-transformed) + u8 seq_order (the
+    SEQ context order actually used; 0 = the header geometry's default).
+    Both bytes were always written as zero by v2-v4 encoders, so the
+    block framing is layout-compatible.
+  * The header is byte-identical to v4 apart from the version field.
+v1-v4 containers keep decoding (their stream inventory has no MATCH and
+their flag/seq_order bytes are zero).
+
 Format VERSION 4 = VERSION 3 streams + the visit-count adaptation
 warm-up (ranger_np.table_update: entries adapt at shift min(rate,
 rate_lo + ceil_log2(visits+1)) when a geometry sets 0 < rate_lo < rate).
@@ -61,15 +73,15 @@ import numpy as np
 
 from .config import (ByteGeom, CodecConfig, FlagGeom, QualGeom, SeqGeom,
                      config_for_level)
-from .pipeline import STREAMS, EncodedBlock, EncodedStream
+from .pipeline import STREAMS, EncodedBlock, EncodedStream, streams_for
 from .utils.bits import (get_varint, get_varint_arr, put_varint,
                          put_varint_arr, unzigzag_arr, zigzag_arr)
 
 MAGIC = b"SFQT"
 END_MAGIC = b"SFQE"
-VERSION = 4
+VERSION = 5
 
-HEADER_SIZE = {1: 20, 2: 36, 3: 36, 4: 38}
+HEADER_SIZE = {1: 20, 2: 36, 3: 36, 4: 38, 5: 38}
 
 # streams whose per-lane symbol counts the decoder can derive (FLAG from
 # record count; SEQ/QUAL from decoded read lengths) — not stored
@@ -120,7 +132,9 @@ def write_header(f: BinaryIO, cfg: CodecConfig) -> None:
     # a round-2 container) re-encodes as v4 only if a geometry actually
     # uses the warm-up — otherwise its streams are bit-identical to v3
     # and the stamp stays 3, so round-2 decoders keep working.
-    if cfg.fmt >= 3:
+    if cfg.fmt >= 5:
+        ver = 5
+    elif cfg.fmt >= 3:
         warm = (0 < cfg.qual.rate_lo < cfg.qual.rate
                 or 0 < cfg.seq.rate_lo < cfg.seq.rate)
         ver = 4 if (cfg.fmt >= 4 or warm) else 3
@@ -156,7 +170,7 @@ def read_header(f: BinaryIO) -> CodecConfig:
         base = LEVELS_V1[level]
         return replace(base, lanes=lanes, aux_lanes=aux,
                        block_records=blockrec, fmt=1)
-    if version not in (2, 3, 4):
+    if version not in (2, 3, 4, 5):
         raise ValueError(f"unsupported sfq version {version}")
     hsize = HEADER_SIZE[version]
     rest = _read_exact(f, hsize - 6)
@@ -168,7 +182,7 @@ def read_header(f: BinaryIO) -> CodecConfig:
     (qd, qq2, qdb, qpb, qps, qr, so, sr, bo, br, fh, fr) = \
         struct.unpack_from("<12B", hdr, 20)
     qlo = slo = 0
-    if version >= 4:
+    if version >= 4:  # v5 header layout matches v4
         qlo, slo = struct.unpack_from("<2B", hdr, 32)
     base = config_for_level(level, lanes=lanes, aux_lanes=aux,
                             block_records=blockrec)
@@ -183,9 +197,11 @@ def read_header(f: BinaryIO) -> CodecConfig:
 
 def _block_body(blk: EncodedBlock) -> bytes:
     body = io.BytesIO()
-    body.write(struct.pack("<IBBH", blk.num_records, blk.minq,
-                           blk.qual_depth, 0))
-    for name in STREAMS:
+    # v5 uses the formerly-reserved u16 as (flags, seq_order); v2-v4
+    # blocks carry zeros there, so the layout is unchanged
+    body.write(struct.pack("<IBBBB", blk.num_records, blk.minq,
+                           blk.qual_depth, blk.flags, blk.seq_order))
+    for name in blk.stream_order():
         es = blk.streams[name]
         hdr = bytearray()
         if name not in IMPLICIT_COUNTS:
@@ -215,14 +231,15 @@ def write_block(f: BinaryIO, blk: EncodedBlock) -> int:
     return off
 
 
-def _parse_body(buf: bytes, pos: int):
+def _parse_body(buf: bytes, pos: int, fmt: int = VERSION):
     """Parse one block body starting at pos. Returns (EncodedBlock, end)."""
     if len(buf) - pos < 8:
         raise ValueError("container truncated (short block body)")
-    num_records, minq, qual_depth, _ = struct.unpack_from("<IBBH", buf, pos)
+    num_records, minq, qual_depth, bflags, seq_order = struct.unpack_from(
+        "<IBBBB", buf, pos)
     pos += 8
     streams = {}
-    for name in STREAMS:
+    for name in streams_for(fmt):
         if name not in IMPLICIT_COUNTS:
             sym_counts, pos = _read_u32_array(buf, pos)
         else:
@@ -250,7 +267,8 @@ def _parse_body(buf: bytes, pos: int):
         else:
             payload = np.zeros((len(lane_lens), maxlen), dtype=np.uint8)
         streams[name] = EncodedStream(sym_counts, lane_lens, payload)
-    return EncodedBlock(num_records, minq, qual_depth, streams), pos
+    return EncodedBlock(num_records, minq, qual_depth, streams,
+                        flags=bflags, seq_order=seq_order), pos
 
 
 def _read_block_v1(buf: bytes, pos: int):
@@ -259,7 +277,7 @@ def _read_block_v1(buf: bytes, pos: int):
         raise ValueError("container truncated (short block)")
     (crc,) = struct.unpack_from("<I", buf, pos)
     start = pos + 4
-    blk, end = _parse_body(buf, start)
+    blk, end = _parse_body(buf, start, fmt=1)
     if _crc32(buf[start:end]) != crc:
         raise ValueError("block CRC mismatch (corrupt container)")
     return blk, end
@@ -279,7 +297,7 @@ def read_block(f: BinaryIO, fmt: int = VERSION) -> EncodedBlock:
     raw = _read_exact(f, blen)
     if _crc32(raw) != crc:
         raise ValueError("block CRC mismatch (corrupt container)")
-    blk, used = _parse_body(raw, 0)
+    blk, used = _parse_body(raw, 0, fmt=fmt)
     if used != blen:
         raise ValueError("block length prefix mismatch (corrupt container)")
     return blk

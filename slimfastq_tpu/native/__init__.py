@@ -112,6 +112,18 @@ def _load():
                                 pi32]
     lib.seqx_apply.restype = i64
     lib.seqx_apply.argtypes = [pp8, pi64, i64, i64, i64, pi64, pi64, p8]
+    try:  # format v5 long-range matcher (absent in older cached .so)
+        lib.match_find.restype = i64
+        lib.match_find.argtypes = [p8, pi64, pi64, i64, i64, pi64, p8,
+                                   pi64, pi64]
+        lib.match_apply.restype = None
+        lib.match_apply.argtypes = [p8, p8, pi64, pi64, i64, pi64, p8,
+                                    pi64, pi64, i64]
+        lib.match_reconstruct.restype = i64
+        lib.match_reconstruct.argtypes = [p8, pi64, pi64, i64, pp8, pi64,
+                                          i64]
+    except AttributeError:
+        pass
 
 
 _load()
@@ -138,6 +150,11 @@ def _bufptrs(bufs: list[np.ndarray]):
 
 def available() -> bool:
     return lib is not None
+
+
+def has_matcher() -> bool:
+    """True when the C++ long-range matcher (format v5) is present."""
+    return lib is not None and hasattr(lib, "match_find")
 
 
 def _as_u8(data) -> np.ndarray:
@@ -519,3 +536,58 @@ def flags_reorder(grouped: np.ndarray, n: int, wa: int) -> np.ndarray:
     out = np.empty(3 * max(n, 1), dtype=np.uint8)
     lib.flags_reorder(_p8(np.ascontiguousarray(grouped)), n, wa, _p8(out))
     return out[: 3 * n]
+
+
+def match_find(data: np.ndarray, seq_off: np.ndarray, seq_len: np.ndarray,
+               min_score: int) -> list:
+    """Format v5 long-range matcher (C++ twin of models/matcher.py
+    find_matches; equality pinned by tests/test_match.py). Returns per
+    read None or (ref, orient, v, score)."""
+    n = len(seq_off)
+    ref = np.empty(n, dtype=np.int64)
+    orient = np.empty(n, dtype=np.uint8)
+    v = np.empty(n, dtype=np.int64)
+    score = np.empty(n, dtype=np.int64)
+    lib.match_find(_p8(data), _pi64(np.ascontiguousarray(seq_off)),
+                   _pi64(np.ascontiguousarray(seq_len)), n, min_score,
+                   _pi64(ref), _p8(orient), _pi64(v), _pi64(score))
+    return [None if ref[r] < 0
+            else (int(ref[r]), int(orient[r]), int(v[r]), int(score[r]))
+            for r in range(n)]
+
+
+def match_apply(dst: np.ndarray, src: np.ndarray, seq_off: np.ndarray,
+                seq_len: np.ndarray, matches: list, min_score: int) -> None:
+    """Rewrite matched spans of dst with e-transform letters (encode side;
+    refs read from the unmodified src buffer)."""
+    n = len(seq_off)
+    ref = np.full(n, -1, dtype=np.int64)
+    orient = np.zeros(n, dtype=np.uint8)
+    v = np.zeros(n, dtype=np.int64)
+    score = np.zeros(n, dtype=np.int64)
+    for r, m in enumerate(matches):
+        if m is not None:
+            ref[r], orient[r], v[r], score[r] = m
+    lib.match_apply(_p8(dst), _p8(src),
+                    _pi64(np.ascontiguousarray(seq_off)),
+                    _pi64(np.ascontiguousarray(seq_len)), n,
+                    _pi64(ref), _p8(orient), _pi64(v), _pi64(score),
+                    min_score)
+
+
+def match_reconstruct(seq_bytes: np.ndarray, rec_starts: np.ndarray,
+                      lengths: np.ndarray, m_lanes: list, wa: int,
+                      n: int) -> np.ndarray:
+    """Decode-side v5 reconstruction: parse the MATCH descriptor lanes and
+    undo the e-transform on a copy of the record-major letter buffer."""
+    out = np.array(seq_bytes, dtype=np.uint8, copy=True)
+    bufs = [np.ascontiguousarray(b, dtype=np.uint8) for b in m_lanes]
+    sizes = np.array([len(b) for b in bufs], dtype=np.int64)
+    ptrs, _keep = _bufptrs(bufs)
+    r = lib.match_reconstruct(_p8(out),
+                              _pi64(np.ascontiguousarray(rec_starts)),
+                              _pi64(np.ascontiguousarray(lengths)), n,
+                              ptrs, _pi64(sizes), wa)
+    if r < 0:
+        raise ValueError("corrupt MATCH descriptor stream")
+    return out

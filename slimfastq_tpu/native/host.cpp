@@ -11,6 +11,7 @@
 //
 // Exposed with a plain C ABI for ctypes.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -1500,6 +1501,317 @@ void minmax_ranges(const uint8_t* src, const int64_t* offs,
     }
     *mn_out = mn;
     *mx_out = mx;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Format v5 long-range read matcher — C++ twin of models/matcher.py
+// (the normative NumPy implementation; tests pin bit-for-bit equality of
+// the selected matches). Constants are frozen there: K=16, sample iff
+// splitmix64(kmer) & 7 == 0, MAX_CAND=16 entries per kmer in insertion
+// order, score = span - 8*mm, chunked index (refs from earlier
+// MATCH_CHUNK=1024-record chunks only), best by (score, ref, -orient,
+// -zigzag(v)) maximised.
+// ---------------------------------------------------------------------------
+
+static const int MK = 16;            // k-mer length
+static const uint64_t MSAMPLE = 7;   // sample iff mix & MSAMPLE == 0
+static const int MMAXC = 16;         // index entries per kmer
+static const int MPEN = 8;           // mismatch penalty
+static const int64_t MCHUNK = 1024;  // index chunk (records)
+
+static inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 30;
+    x *= 0xBF58476D1CE4E5B9ULL;
+    x ^= x >> 27;
+    x *= 0x94D049BB133111EBULL;
+    x ^= x >> 31;
+    return x;
+}
+
+static uint8_t M_B2C0[256];
+static void m_b2c0_init() {
+    static bool done = false;
+    if (done) return;
+    memset(M_B2C0, 0, 256);
+    M_B2C0['A'] = 0; M_B2C0['C'] = 1; M_B2C0['G'] = 2; M_B2C0['T'] = 3;
+    done = true;
+}
+static const char M_C2B[4] = {'A', 'C', 'G', 'T'};
+
+struct MEntry { int32_t ref; int32_t pos; int32_t next; };
+struct MSlot { uint64_t key; int32_t head; int32_t tail; int32_t cnt; };
+
+struct MIndex {
+    std::vector<MSlot> slots;
+    std::vector<MEntry> pool;
+    uint64_t mask;
+    void init(size_t expected) {
+        size_t cap = 64;
+        while (cap < expected * 2) cap <<= 1;
+        slots.assign(cap, MSlot{~0ULL, -1, -1, 0});
+        pool.clear();
+        pool.reserve(expected);
+        mask = cap - 1;
+    }
+    MSlot* find(uint64_t key) {
+        uint64_t i = (mix64(key) >> 3) & mask;
+        for (;;) {
+            MSlot& s = slots[i];
+            if (s.key == key) return &s;
+            if (s.key == ~0ULL) return nullptr;
+            i = (i + 1) & mask;
+        }
+    }
+    void insert(uint64_t key, int32_t ref, int32_t pos) {
+        uint64_t i = (mix64(key) >> 3) & mask;
+        for (;;) {
+            MSlot& s = slots[i];
+            if (s.key == key) {
+                if (s.cnt >= MMAXC) return;
+                int32_t e = (int32_t)pool.size();
+                pool.push_back(MEntry{ref, pos, -1});
+                pool[s.tail].next = e;
+                s.tail = e;
+                s.cnt++;
+                return;
+            }
+            if (s.key == ~0ULL) {
+                int32_t e = (int32_t)pool.size();
+                pool.push_back(MEntry{ref, pos, -1});
+                s.key = key;
+                s.head = s.tail = e;
+                s.cnt = 1;
+                return;
+            }
+            i = (i + 1) & mask;
+        }
+    }
+};
+
+// zigzag of a 64-bit signed value (matches utils/bits.py)
+static inline uint64_t m_zz(int64_t v) {
+    return ((uint64_t)v << 1) ^ (uint64_t)(v >> 63);
+}
+
+extern "C" {
+
+// Best match per read. Outputs ref=-1 when no candidate reaches
+// min_score. Deterministic and OpenMP-safe (queries are read-only per
+// chunk; insertion is serial between chunks). Returns matched count.
+int64_t match_find(const uint8_t* data, const int64_t* seq_off,
+                   const int64_t* seq_len, int64_t n, int64_t min_score,
+                   int64_t* out_ref, uint8_t* out_orient, int64_t* out_v,
+                   int64_t* out_score) {
+    m_b2c0_init();
+    // codes arena (B2C0-mapped bases, record-major)
+    std::vector<int64_t> starts(n + 1, 0);
+    for (int64_t r = 0; r < n; r++) starts[r + 1] = starts[r] + seq_len[r];
+    std::vector<uint8_t> arena((size_t)starts[n]);
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; r++) {
+        const uint8_t* s = data + seq_off[r];
+        uint8_t* d = arena.data() + starts[r];
+        for (int64_t i = 0; i < seq_len[r]; i++) d[i] = M_B2C0[s[i]];
+    }
+    int64_t total_kmers = 0;
+    for (int64_t r = 0; r < n; r++)
+        if (seq_len[r] >= MK) total_kmers += seq_len[r] - MK + 1;
+    MIndex index;
+    index.init((size_t)(total_kmers / (MSAMPLE + 1) + 64));
+
+    for (int64_t r = 0; r < n; r++) out_ref[r] = -1;
+    int64_t matched = 0;
+
+    for (int64_t g_lo = 0; g_lo < n; g_lo += MCHUNK) {
+        int64_t g_hi = g_lo + MCHUNK < n ? g_lo + MCHUNK : n;
+        if (g_lo) {
+#pragma omp parallel
+            {
+                std::vector<uint8_t> rc;
+                std::vector<uint64_t> seen;
+#pragma omp for schedule(dynamic, 16)
+                for (int64_t r = g_lo; r < g_hi; r++) {
+                    const uint8_t* c = arena.data() + starts[r];
+                    int64_t L = seq_len[r];
+                    if (L < MK) continue;
+                    rc.resize((size_t)L);
+                    for (int64_t i = 0; i < L; i++)
+                        rc[i] = (uint8_t)(3 - c[L - 1 - i]);
+                    seen.clear();
+                    // best = (score, ref, -orient, -zz) maximised
+                    int64_t b_score = min_score - 1, b_ref = -1,
+                            b_v = 0;
+                    int b_orient = 0;
+                    uint64_t b_zz = 0;
+                    bool have = false;
+                    for (int orient = 0; orient < 2; orient++) {
+                        const uint8_t* arr = orient ? rc.data() : c;
+                        uint64_t acc = 0;
+                        for (int j = 0; j < MK; j++)
+                            acc = (acc << 2) | arr[j];
+                        const uint64_t kmask = (1ULL << (2 * MK)) - 1;
+                        for (int64_t p = 0; p <= L - MK; p++) {
+                            if (p) acc = ((acc << 2) | arr[p + MK - 1])
+                                       & kmask;
+                            if ((mix64(acc) & MSAMPLE) != 0) continue;
+                            MSlot* slot = index.find(acc);
+                            if (!slot) continue;
+                            for (int32_t e = slot->head; e >= 0;
+                                 e = index.pool[e].next) {
+                                const MEntry& en = index.pool[e];
+                                int64_t v = (int64_t)en.pos - p;
+                                uint64_t key =
+                                    ((uint64_t)en.ref << 34) |
+                                    ((uint64_t)orient << 33) | m_zz(v);
+                                bool dup = false;
+                                for (uint64_t k : seen)
+                                    if (k == key) { dup = true; break; }
+                                if (dup) continue;
+                                seen.push_back(key);
+                                int64_t lref = seq_len[en.ref];
+                                int64_t lo = v < 0 ? -v : 0;
+                                int64_t hi = L < lref - v ? L : lref - v;
+                                if (hi - lo < MK) continue;
+                                const uint8_t* cr =
+                                    arena.data() + starts[en.ref];
+                                int64_t mm = 0;
+                                for (int64_t i = lo; i < hi; i++)
+                                    mm += arr[i] != cr[i + v];
+                                int64_t score = (hi - lo) - MPEN * mm;
+                                if (score < min_score) continue;
+                                uint64_t zz = m_zz(v);
+                                bool better;
+                                if (!have) better = true;
+                                else if (score != b_score)
+                                    better = score > b_score;
+                                else if (en.ref != b_ref)
+                                    better = en.ref > b_ref;
+                                else if (orient != b_orient)
+                                    better = orient < b_orient;
+                                else better = zz < b_zz;
+                                if (better) {
+                                    have = true;
+                                    b_score = score;
+                                    b_ref = en.ref;
+                                    b_orient = orient;
+                                    b_v = v;
+                                    b_zz = zz;
+                                }
+                            }
+                        }
+                    }
+                    if (have) {
+                        out_ref[r] = b_ref;
+                        out_orient[r] = (uint8_t)b_orient;
+                        out_v[r] = b_v;
+                        out_score[r] = b_score;
+                    }
+                }
+            }
+            for (int64_t r = g_lo; r < g_hi; r++)
+                matched += out_ref[r] >= 0;
+        }
+        // index this chunk's forward kmers (serial: insertion order is
+        // part of the frozen selection rule)
+        for (int64_t r = g_lo; r < g_hi; r++) {
+            const uint8_t* c = arena.data() + starts[r];
+            int64_t L = seq_len[r];
+            if (L < MK) continue;
+            uint64_t acc = 0;
+            for (int j = 0; j < MK; j++) acc = (acc << 2) | c[j];
+            const uint64_t kmask = (1ULL << (2 * MK)) - 1;
+            for (int64_t p = 0; p <= L - MK; p++) {
+                if (p) acc = ((acc << 2) | c[p + MK - 1]) & kmask;
+                if ((mix64(acc) & MSAMPLE) == 0)
+                    index.insert(acc, (int32_t)r, (int32_t)p);
+            }
+        }
+    }
+    return matched;
+}
+
+// e-transform rewrite: letters over matched spans become
+// C2B[(B2C0[read] - pred) & 3]. Refs are read from the unmodified src.
+void match_apply(uint8_t* dst, const uint8_t* src, const int64_t* seq_off,
+                 const int64_t* seq_len, int64_t n, const int64_t* refs,
+                 const uint8_t* orients, const int64_t* vs,
+                 const int64_t* scores, int64_t min_score) {
+    m_b2c0_init();
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < n; r++) {
+        if (refs[r] < 0 || scores[r] < min_score) continue;
+        int64_t ref = refs[r], v = vs[r];
+        int orient = orients[r];
+        int64_t L = seq_len[r], lref = seq_len[ref];
+        const uint8_t* s = src + seq_off[r];
+        const uint8_t* sr = src + seq_off[ref];
+        uint8_t* d = dst + seq_off[r];
+        int64_t lo, hi;
+        if (orient == 0) {
+            lo = v < 0 ? -v : 0;
+            hi = L < lref - v ? L : lref - v;
+            for (int64_t i = lo; i < hi; i++)
+                d[i] = M_C2B[(M_B2C0[s[i]] - M_B2C0[sr[i + v]]) & 3];
+        } else {
+            lo = L + v - lref > 0 ? L + v - lref : 0;
+            hi = L < L + v ? L : L + v;
+            for (int64_t i = lo; i < hi; i++)
+                d[i] = M_C2B[(M_B2C0[s[i]]
+                              - (3 - M_B2C0[sr[L - 1 + v - i]])) & 3];
+        }
+    }
+}
+
+// Decode-side reconstruction: parse the per-aux-lane MATCH descriptor
+// streams and undo the e-transform in record order, in place.
+// Returns 0 on success, -1 on a corrupt descriptor stream.
+int64_t match_reconstruct(uint8_t* seq, const int64_t* rec_starts,
+                          const int64_t* lens, int64_t n,
+                          const uint8_t* const* lane_bufs,
+                          const int64_t* lane_sizes, int64_t wa) {
+    m_b2c0_init();
+    struct Desc { int64_t r, ref, v; int orient; };
+    std::vector<Desc> ds;
+    for (int64_t w = 0; w < wa; w++) {
+        int64_t pos = 0, ordinal = -1;
+        while (pos < lane_sizes[w]) {
+            uint64_t d, rd, tok;
+            if (!get_varint(lane_bufs[w], lane_sizes[w], pos, d) ||
+                !get_varint(lane_bufs[w], lane_sizes[w], pos, rd) ||
+                !get_varint(lane_bufs[w], lane_sizes[w], pos, tok))
+                return -1;
+            ordinal += (int64_t)d;
+            int64_t r = w + ordinal * wa;
+            if (r < 0 || r >= n || rd == 0 || (int64_t)rd > r) return -1;
+            uint64_t zz = tok >> 1;
+            int64_t v = (zz & 1) ? -(int64_t)((zz + 1) >> 1)
+                                 : (int64_t)(zz >> 1);
+            ds.push_back(Desc{r, r - (int64_t)rd, v, (int)(tok & 1)});
+        }
+    }
+    std::sort(ds.begin(), ds.end(),
+              [](const Desc& a, const Desc& b) { return a.r < b.r; });
+    for (const Desc& dsc : ds) {
+        int64_t L = lens[dsc.r], lref = lens[dsc.ref];
+        uint8_t* s = seq + rec_starts[dsc.r];
+        const uint8_t* sr = seq + rec_starts[dsc.ref];
+        int64_t lo, hi;
+        if (dsc.orient == 0) {
+            lo = dsc.v < 0 ? -dsc.v : 0;
+            hi = L < lref - dsc.v ? L : lref - dsc.v;
+            for (int64_t i = lo; i < hi; i++)
+                s[i] = M_C2B[(M_B2C0[s[i]] + M_B2C0[sr[i + dsc.v]]) & 3];
+        } else {
+            lo = L + dsc.v - lref > 0 ? L + dsc.v - lref : 0;
+            hi = L < L + dsc.v ? L : L + dsc.v;
+            for (int64_t i = lo; i < hi; i++)
+                s[i] = M_C2B[(M_B2C0[s[i]]
+                              + (3 - M_B2C0[sr[L - 1 + dsc.v - i]])) & 3];
+        }
+    }
+    return 0;
 }
 
 }  // extern "C"

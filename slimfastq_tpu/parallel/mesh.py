@@ -201,14 +201,16 @@ def _build_sharded_raw_encode(seq_geom, qual_geom, Sp: int, S: int,
     return sharded
 
 
-def encode_seq_qual_raw_blocks(seq_geom, mesh: Mesh, raw_list,
+def encode_seq_qual_raw_blocks(sgeom_list, mesh: Mesh, raw_list,
                                counts_list, qgeom_list,
                                minq_list, seq_map):
     """Encode SEQ+QUAL for many blocks with on-device lane packing,
     sharded over the mesh. raw_list[b] = (padded raw bytes, seq_offs,
     qual_offs, lengths) as produced by pipeline_native.prepare_block_fast.
-    Returns a list of {"SEQ": (payload, lens), "QUAL": ...} per block,
-    byte-identical to the sequential encode_seq_qual_raw."""
+    sgeom_list[b] is the block's effective SEQ geometry (format v5 order
+    fallback can differ per block). Returns a list of
+    {"SEQ": (payload, lens), "QUAL": ...} per block, byte-identical to
+    the sequential encode_seq_qual_raw."""
     from ..ops import pack_jax
     B = len(raw_list)
     if B == 0:
@@ -216,8 +218,8 @@ def encode_seq_qual_raw_blocks(seq_geom, mesh: Mesh, raw_list,
     W = counts_list[0].shape[0]
     # group by every compile-shape + format-affecting parameter: the
     # lockstep step count (pad_steps) is part of the bit format, the
-    # qual geometry varies per block (6/7/8-bit depth), Rpl/Dp are
-    # compile shapes
+    # qual/seq geometries vary per block (6/7/8-bit depth; v5 order
+    # fallback), Rpl/Dp are compile shapes
     groups: dict[tuple, list[int]] = {}
     results: list = [None] * B
     for b in range(B):
@@ -232,9 +234,9 @@ def encode_seq_qual_raw_blocks(seq_geom, mesh: Mesh, raw_list,
         n = len(raw_list[b][3])
         Rpl = max((n + W - 1) // W, 1)
         Dp = int(raw_list[b][0].shape[0])
-        key = (qgeom_list[b], Sp, Rpl, Dp)
+        key = (sgeom_list[b], qgeom_list[b], Sp, Rpl, Dp)
         groups.setdefault(key, []).append(b)
-    for (qgeom, Sp, Rpl, Dp), idxs in groups.items():
+    for (seq_geom, qgeom, Sp, Rpl, Dp), idxs in groups.items():
         Bg = len(idxs)
         nd = mesh.devices.size
         pad = (-Bg) % nd
@@ -317,14 +319,15 @@ def _build_sharded_raw_decode(seq_geom, qual_geom, Sp: int, S: int,
     return sharded
 
 
-def decode_seq_qual_raw_blocks(seq_geom, mesh: Mesh, pay_s, lens_s,
+def decode_seq_qual_raw_blocks(sgeom_list, mesh: Mesh, pay_s, lens_s,
                                pay_q, lens_q, ll_list, counts_list,
                                starts_list, lengths_list, totals,
                                qgeom_list, minq_list, seq_map):
     """Decode SEQ+QUAL of many blocks and lane-unpack them on device,
     sharded over the mesh. Returns a list of (seq_bytes, qual_bytes)
     record-major buffers per block, identical to the sequential
-    decode_seq_qual_raw."""
+    decode_seq_qual_raw. sgeom_list[b] is the block's effective SEQ
+    geometry (v5 order fallback)."""
     from ..ops import pack_jax
     B = len(pay_s)
     if B == 0:
@@ -344,14 +347,14 @@ def decode_seq_qual_raw_blocks(seq_geom, mesh: Mesh, pay_s, lens_s,
         n = len(lengths_list[b])
         Rpl = max((n + W - 1) // W, 1)
         Tp = pack_jax.pad_flat(total)
-        key = (qgeom_list[b], Sp, Rpl, Tp)
+        key = (sgeom_list[b], qgeom_list[b], Sp, Rpl, Tp)
         groups.setdefault(key, []).append(b)
 
     def _lb(pays, idxs):
         L = max(max((int(pays[b].shape[1]) for b in idxs), default=1), 1)
         return ((L + 2047) // 2048) * 2048
 
-    for (qgeom, Sp, Rpl, Tp), idxs in groups.items():
+    for (seq_geom, qgeom, Sp, Rpl, Tp), idxs in groups.items():
         Bg = len(idxs)
         nd = mesh.devices.size
         Bp = Bg + ((-Bg) % nd)

@@ -17,7 +17,8 @@ import numpy as np
 
 from .. import container, native
 from ..config import CodecConfig
-from ..pipeline import STREAMS, EncodedBlock, EncodedStream, stream_jobs
+from ..pipeline import (MATCH_USED, QUAL_NODELTA, EncodedBlock,
+                        EncodedStream, stream_jobs, streams_for)
 from ..utils.fastq import parse_fastq_bytes
 from . import mesh as pmesh
 
@@ -72,11 +73,12 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
     if B == 0:
         return []
     results: list[dict[str, EncodedStream]] = [dict() for _ in range(B)]
+    sgeoms = [pres[b][0]["SEQ"][1] for b in range(B)]  # v5 eff order
 
     # SEQ + QUAL: device-raw sharded encode for raw-capable blocks
     raw_idx = [b for b in range(B) if pres[b][5] is not None]
     raw_out = pmesh.encode_seq_qual_raw_blocks(
-        cfg.seq, mesh,
+        [sgeoms[b] for b in raw_idx], mesh,
         [pres[b][5] for b in raw_idx],
         [np.asarray(pres[b][0]["SEQ"][3]) for b in raw_idx],
         [pres[b][0]["QUAL"][1] for b in raw_idx],
@@ -101,11 +103,71 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
 
     # aux streams: batch across blocks and run sharded (as before)
     all_jobs = [pres[b][0] for b in range(B)]
-    for name in STREAMS:
+    for name in streams_for(cfg.fmt):
         if name not in ("SEQ", "QUAL"):
             _encode_stream_groups(name, all_jobs, results, mesh)
 
-    return [EncodedBlock(pres[b][1], pres[b][2], pres[b][3], results[b])
+    # v5 match trials: per threshold, batch the e-variant SEQ encodes and
+    # the MATCH streams across blocks; per-block winner selection mirrors
+    # pipeline_native.encode_prepared_block exactly (same accept rule, so
+    # bytes stay identical to the sequential path)
+    flags = [0] * B
+    trial_blocks: dict[int, list[int]] = {}
+    for b in range(B):
+        v5 = pres[b][7]
+        if v5 is not None:
+            for (t, _alt, _ms, _mc) in v5["trials"]:
+                trial_blocks.setdefault(t, []).append(b)
+    if trial_blocks:
+        best_total = {b: int(np.asarray(results[b]["SEQ"].lane_lens).sum())
+                      for b in range(B)}
+        from ..models.matcher import THRESHOLDS
+        for t in THRESHOLDS:
+            tb = trial_blocks.get(t, [])
+            if not tb:
+                continue
+            trial = {b: tr for b in tb for tr in pres[b][7]["trials"]
+                     if tr[0] == t}
+            raw_tb = [b for b in tb if pres[b][5] is not None]
+            e_out = pmesh.encode_seq_qual_raw_blocks(
+                [sgeoms[b] for b in raw_tb], mesh,
+                [trial[b][1] for b in raw_tb],
+                [np.asarray(pres[b][0]["SEQ"][3]) for b in raw_tb],
+                [pres[b][0]["QUAL"][1] for b in raw_tb],
+                [pres[b][2] for b in raw_tb],
+                _BASE_TO_CODE_DEV)
+            seq_e: dict[int, tuple] = {b: e_out[i]["SEQ"]
+                                       for i, b in enumerate(raw_tb)}
+            for b in tb:
+                if b not in seq_e:  # rare non-raw fallback: ll path
+                    seq_e[b] = streams_jax.encode_stream_ll(
+                        "seq", sgeoms[b], trial[b][1],
+                        pres[b][4], pres[b][0]["SEQ"][3])
+            m_enc = pmesh.encode_stream_blocks(
+                "byte", cfg.bytes_, mesh,
+                [trial[b][2] for b in tb],
+                [np.asarray(trial[b][3]) for b in tb],
+                [None] * len(tb), [None] * len(tb))
+            for i, b in enumerate(tb):
+                ep, el = seq_e[b]
+                mp, ml = m_enc[i]
+                total = int(np.asarray(el).sum()) + \
+                    int(np.asarray(ml).sum())
+                if total < best_total[b]:
+                    best_total[b] = total
+                    flags[b] = MATCH_USED
+                    counts = np.asarray(
+                        pres[b][0]["SEQ"][3]).astype(np.int64)
+                    results[b]["SEQ"] = EncodedStream(counts, el, ep)
+                    results[b]["MATCH"] = EncodedStream(
+                        np.asarray(trial[b][3]).astype(np.int64), ml, mp)
+
+    for b in range(B):
+        if pres[b][7] is not None and pres[b][7]["qual_nodelta"]:
+            flags[b] |= QUAL_NODELTA
+    return [EncodedBlock(pres[b][1], pres[b][2], pres[b][3], results[b],
+                         flags=flags[b],
+                         seq_order=(pres[b][7] or {}).get("seq_order", 0))
             for b in range(B)]
 
 
@@ -166,22 +228,87 @@ def encode_fastq_sharded(data: bytes, cfg: CodecConfig, mesh=None,
     offsets = []
     for wlo in range(0, len(ranges), window):
         wr = ranges[wlo: wlo + window]
-        all_jobs, metas = [], []
+        all_jobs, metas, extras = [], [], []
         for lo, hi in wr:
-            jobs, nb, minq, qd = stream_jobs(_batch_slice(batch, lo, hi),
-                                             cfg)
+            jobs, nb, minq, qd, extra = stream_jobs(
+                _batch_slice(batch, lo, hi), cfg)
             all_jobs.append(jobs)
             metas.append((nb, minq, qd))
+            extras.append(extra)
         # batch each stream across the window's blocks and run sharded
-        # (qual depth can vary per block: groups by geometry)
+        # (qual depth / v5 seq order can vary per block: groups by
+        # geometry)
         results: list[dict[str, EncodedStream]] = [dict() for _ in wr]
-        for name in STREAMS:
+        for name in streams_for(cfg.fmt):
             _encode_stream_groups(name, all_jobs, results, mesh)
+        flags = _oracle_match_trials(all_jobs, extras, results, mesh, cfg)
         for b, (nb, minq, qd) in enumerate(metas):
-            blk = EncodedBlock(nb, minq, qd, results[b])
+            if extras[b].get("qual_nodelta"):
+                flags[b] |= QUAL_NODELTA
+            blk = EncodedBlock(nb, minq, qd, results[b], flags=flags[b],
+                               seq_order=extras[b]["seq_order"])
             offsets.append(container.write_block(out, blk))
     container.write_index(out, offsets)
     return out.getvalue()
+
+
+def _oracle_match_trials(all_jobs, extras, results, mesh, cfg):
+    """v5 trial selection for the non-native sharded encode: batch the
+    e-variant SEQ encodes and MATCH streams over the mesh, accept per
+    block exactly like pipeline.choose_match_variant."""
+    B = len(all_jobs)
+    flags = [0] * B
+    any_trials = any(extras[b]["match_trials"] for b in range(B))
+    if not any_trials:
+        return flags
+    from ..models.matcher import THRESHOLDS
+    best_total = {b: int(np.asarray(results[b]["SEQ"].lane_lens).sum())
+                  for b in range(B)}
+    for t in THRESHOLDS:
+        tb = [b for b in range(B)
+              if any(tr[0] == t for tr in extras[b]["match_trials"])]
+        if not tb:
+            continue
+        trial = {b: tr for b in tb for tr in extras[b]["match_trials"]
+                 if tr[0] == t}
+        seq_enc = pmesh.encode_stream_blocks(
+            "seq", all_jobs[tb[0]]["SEQ"][1], mesh,
+            [trial[b][1] for b in tb],
+            [np.asarray(all_jobs[b]["SEQ"][3]) for b in tb],
+            [all_jobs[b]["SEQ"][4] for b in tb],
+            [all_jobs[b]["SEQ"][5] for b in tb]) \
+            if len({all_jobs[b]["SEQ"][1] for b in tb}) == 1 else None
+        if seq_enc is None:  # mixed seq geometries: group per geometry
+            seq_enc = [None] * len(tb)
+            geo_groups: dict[object, list[int]] = {}
+            for i, b in enumerate(tb):
+                geo_groups.setdefault(all_jobs[b]["SEQ"][1], []).append(i)
+            for g, iidx in geo_groups.items():
+                sub = pmesh.encode_stream_blocks(
+                    "seq", g, mesh,
+                    [trial[tb[i]][1] for i in iidx],
+                    [np.asarray(all_jobs[tb[i]]["SEQ"][3]) for i in iidx],
+                    [all_jobs[tb[i]]["SEQ"][4] for i in iidx],
+                    [all_jobs[tb[i]]["SEQ"][5] for i in iidx])
+                for j, i in enumerate(iidx):
+                    seq_enc[i] = sub[j]
+        m_enc = pmesh.encode_stream_blocks(
+            "byte", cfg.bytes_, mesh,
+            [trial[b][2] for b in tb],
+            [np.asarray(trial[b][3]) for b in tb],
+            [None] * len(tb), [None] * len(tb))
+        for i, b in enumerate(tb):
+            ep, el = seq_enc[i]
+            mp, ml = m_enc[i]
+            total = int(np.asarray(el).sum()) + int(np.asarray(ml).sum())
+            if total < best_total[b]:
+                best_total[b] = total
+                flags[b] = MATCH_USED
+                counts = np.asarray(all_jobs[b]["SEQ"][3]).astype(np.int64)
+                results[b]["SEQ"] = EncodedStream(counts, el, ep)
+                results[b]["MATCH"] = EncodedStream(
+                    np.asarray(trial[b][3]).astype(np.int64), ml, mp)
+    return flags
 
 
 def _decode_sharded_native(data: bytes, mesh,
@@ -246,10 +373,15 @@ def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
         starts_list.append(inters[b][7])
         lengths_list.append(lengths)
         totals.append(int(lengths.sum()))
-    qgeoms = [replace(cfg.qual, depth=blocks[b].qual_depth) for b in live]
+    qgeoms = [replace(cfg.qual, depth=blocks[b].qual_depth,
+                      delta_bits=0 if (blocks[b].flags & QUAL_NODELTA)
+                      else cfg.qual.delta_bits) for b in live]
+    sgeoms = [replace(cfg.seq, order=blocks[b].seq_order)
+              if (cfg.fmt >= 5 and blocks[b].seq_order) else cfg.seq
+              for b in live]
     minqs = [blocks[b].minq for b in live]
     sq = pmesh.decode_seq_qual_raw_blocks(
-        cfg.seq, mesh, pay_s, lens_s, pay_q, lens_q, ll_list,
+        sgeoms, mesh, pay_s, lens_s, pay_q, lens_q, ll_list,
         counts_list, starts_list, lengths_list, totals, qgeoms, minqs,
         _CODE_TO_BASE_FULL)
 
@@ -262,7 +394,7 @@ def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
             continue
         seq_bytes, qual_bytes = next(it)
         parts.append(decode_block_finish(
-            inter[:8] + (seq_bytes, qual_bytes), cfg))
+            inter[:8] + (seq_bytes, qual_bytes) + inter[10:], cfg))
     return parts
 
 
@@ -314,6 +446,7 @@ def _decode_blocks_oracle(blocks, cfg: CodecConfig, mesh) -> list:
     W = cfg.lanes
     counts_list, steps_list = [], []
     pay_seq, len_seq, pay_q, len_q, qgeoms = [], [], [], [], []
+    sgeoms = []
     pos_list, reset_list = [], []
     for blk in blocks:
         # decode LEN stream only (cheap, aux lanes) to get read lengths —
@@ -331,24 +464,31 @@ def _decode_blocks_oracle(blocks, cfg: CodecConfig, mesh) -> list:
         len_seq.append(blk.streams["SEQ"].lane_lens)
         pay_q.append(blk.streams["QUAL"].payload)
         len_q.append(blk.streams["QUAL"].lane_lens)
-        qgeoms.append(replace(cfg.qual, depth=blk.qual_depth))
+        qgeoms.append(replace(cfg.qual, depth=blk.qual_depth,
+                              delta_bits=0 if (blk.flags & QUAL_NODELTA)
+                              else cfg.qual.delta_bits))
+        sgeoms.append(replace(cfg.seq, order=blk.seq_order)
+                      if (cfg.fmt >= 5 and blk.seq_order) else cfg.seq)
 
-    seq_dec = pmesh.decode_stream_blocks("seq", cfg.seq, mesh, pay_seq,
-                                         len_seq, counts_list, steps_list,
-                                         pos_list, reset_list)
-    # qual geometries may differ per block (6/7-bit); group
-    groups: dict[object, list[int]] = {}
-    for b, g in enumerate(qgeoms):
-        groups.setdefault(g, []).append(b)
-    qual_dec: list = [None] * len(blocks)
-    for g, idxs in groups.items():
-        res = pmesh.decode_stream_blocks(
-            "qual", g, mesh, [pay_q[b] for b in idxs],
-            [len_q[b] for b in idxs], [counts_list[b] for b in idxs],
-            [steps_list[b] for b in idxs], [pos_list[b] for b in idxs],
-            [reset_list[b] for b in idxs])
-        for i, b in enumerate(idxs):
-            qual_dec[b] = res[i]
+    # seq/qual geometries may differ per block (v5 order fallback;
+    # 6/7-bit qual depth); group per geometry
+    def _grouped_decode(kind, geoms, pays, lens):
+        groups: dict[object, list[int]] = {}
+        for b, g in enumerate(geoms):
+            groups.setdefault(g, []).append(b)
+        dec: list = [None] * len(blocks)
+        for g, idxs in groups.items():
+            res = pmesh.decode_stream_blocks(
+                kind, g, mesh, [pays[b] for b in idxs],
+                [lens[b] for b in idxs], [counts_list[b] for b in idxs],
+                [steps_list[b] for b in idxs], [pos_list[b] for b in idxs],
+                [reset_list[b] for b in idxs])
+            for i, b in enumerate(idxs):
+                dec[b] = res[i]
+        return dec
+
+    seq_dec = _grouped_decode("seq", sgeoms, pay_seq, len_seq)
+    qual_dec = _grouped_decode("qual", qgeoms, pay_q, len_q)
 
     # 2. finish each block on the host with the precomputed matrices
     class _Precomputed:

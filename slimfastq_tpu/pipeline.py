@@ -22,6 +22,12 @@ Stream inventory per block (fixed order):
   SEQX  byte  — non-ACGT exceptions: varint(gap in global base index) + char
   SEQ   2bit  — bases (exceptions coded as A), order-k rolling context
   QUAL  6/7bit— qualities biased by per-block minq
+  MATCH byte  — (format v5) long-range read-match descriptors; when a
+          block's flags bit0 is set, SEQ symbols are e-transformed over
+          matched spans (models/matcher.py is the frozen rule). Format v5
+          blocks also carry the SEQ context order actually used
+          (seq_order; 0 = the geometry default) so small blocks can fall
+          back to a shallower order (matcher.effective_seq_order policy).
 """
 
 from __future__ import annotations
@@ -39,6 +45,15 @@ from .utils.fastq import FastqBatch
 U32 = np.uint32
 
 STREAMS = ("LEN", "FLAG", "IDD", "IDX", "SEQX", "SEQ", "QUAL")
+STREAMS_V5 = STREAMS + ("MATCH",)
+
+MATCH_USED = 1     # EncodedBlock.flags bit0: SEQ symbols are e-transformed
+QUAL_NODELTA = 2   # flags bit1: QUAL coded with delta_bits=0 (small block)
+
+
+def streams_for(fmt: int):
+    """Stream inventory for a container format version."""
+    return STREAMS_V5 if fmt >= 5 else STREAMS
 
 _BASE_TO_CODE = np.full(256, 255, dtype=np.uint8)
 for _i, _b in enumerate(b"ACGT"):
@@ -59,6 +74,11 @@ class EncodedBlock:
     minq: int
     qual_depth: int
     streams: dict[str, EncodedStream]
+    flags: int = 0      # v5: bit0 MATCH_USED
+    seq_order: int = 0  # v5: SEQ context order used (0 = geometry default)
+
+    def stream_order(self):
+        return STREAMS_V5 if "MATCH" in self.streams else STREAMS
 
 
 def _to_lane_streams(per_record: list[bytes | bytearray], W: int):
@@ -80,6 +100,17 @@ def _from_lane_streams(syms: np.ndarray, counts: np.ndarray) -> list[bytes]:
     """Inverse of _to_lane_streams at the whole-lane level."""
     W = syms.shape[1]
     return [syms[: counts[w], w].astype(np.uint8).tobytes() for w in range(W)]
+
+
+def _to_lane_streams_perlane(per_lane: list, Wa: int):
+    """Per-aux-lane byte buffers -> ([S, Wa] syms, counts)."""
+    counts = np.array([len(b) for b in per_lane], dtype=np.int64)
+    S = int(counts.max()) if counts.size else 0
+    syms = np.zeros((S, Wa), dtype=U32)
+    for w, b in enumerate(per_lane):
+        if b:
+            syms[: len(b), w] = np.frombuffer(bytes(b), dtype=np.uint8)
+    return syms, counts
 
 
 def _lane_lengths_matrix(lengths: np.ndarray, W: int) -> np.ndarray:
@@ -182,6 +213,12 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
     """Host-side modeling: produce every stream's (kind, geom, syms, counts,
     pos, reset) coding job plus the block metadata. Used by encode_block and
     by the benchmark harness (which times the device kernels in isolation).
+
+    Returns (jobs, n, minq, qual_depth, extra); extra carries the v5
+    per-block decisions: ``seq_order`` (nonzero when the effective SEQ
+    order fell back below the geometry default) and ``match_trials``, a
+    list of (min_score, seq_syms_e, match_syms, match_counts) SEQ-stream
+    alternatives for encode_block's per-block trial.
     """
     n = len(batch)
     W, Wa = cfg.lanes, cfg.aux_lanes
@@ -279,14 +316,7 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
 
     def byte_job(name: str, per_rec_or_lane, per_lane: bool = False):
         if per_lane:
-            counts = np.array([len(b) for b in per_rec_or_lane],
-                              dtype=np.int64)
-            S = int(counts.max()) if counts.size else 0
-            syms = np.zeros((S, Wa), dtype=U32)
-            for w, b in enumerate(per_rec_or_lane):
-                if b:
-                    syms[: len(b), w] = np.frombuffer(bytes(b),
-                                                      dtype=np.uint8)
+            syms, counts = _to_lane_streams_perlane(per_rec_or_lane, Wa)
         else:
             syms, counts = _to_lane_streams(per_rec_or_lane, Wa)
         jobs[name] = ("byte", cfg.bytes_, syms, counts, None, None)
@@ -299,16 +329,49 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
     fsyms, fcounts = _to_lane_streams(flag_rec, Wa)
     jobs["FLAG"] = ("flag", cfg.flags, fsyms, fcounts, None, None)
 
+    from dataclasses import replace
+
+    # --- v5: per-block SEQ order fallback + long-range match trials --------
+    extra = {"seq_order": 0, "match_trials": [], "qual_nodelta": False}
+    sgeom = cfg.seq
+    if cfg.fmt >= 5:
+        from .models import matcher as M
+        eff = M.effective_seq_order(cfg.seq.order, int(lengths.sum()))
+        if eff != cfg.seq.order:
+            sgeom = replace(cfg.seq, order=eff)
+            extra["seq_order"] = eff
+
     _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
     sq = _scatter_record_symbols(seq_codes, W, S, scounts)
-    jobs["SEQ"] = ("seq", cfg.seq, sq, scounts, pos, reset)
+    jobs["SEQ"] = ("seq", sgeom, sq, scounts, pos, reset)
+
+    if cfg.fmt >= 5:
+        empty = np.zeros((0, Wa), dtype=U32)
+        zc = np.zeros(Wa, dtype=np.int64)
+        jobs["MATCH"] = ("byte", cfg.bytes_, empty, zc, None, None)
+        if getattr(cfg, "match", False) and n > M.MATCH_CHUNK:
+            codes8 = [c.astype(np.uint8) for c in seq_codes]
+            matches = M.find_matches(codes8)
+            for t in M.THRESHOLDS:
+                if not any(m is not None and m[3] >= t for m in matches):
+                    continue
+                e8 = M.apply_e_transform(codes8, matches, t)
+                sq_e = _scatter_record_symbols(
+                    [e.astype(U32) for e in e8], W, S, scounts)
+                mlanes = M.encode_match_lanes(matches, t, n, Wa)
+                msyms, mcounts = _to_lane_streams_perlane(mlanes, Wa)
+                extra["match_trials"].append((t, sq_e, msyms, mcounts))
 
     qs = _scatter_record_symbols(qual_syms_rec, W, S, scounts)
-    from dataclasses import replace
-    qgeom = replace(cfg.qual, depth=qual_depth)
+    qdelta = cfg.qual.delta_bits
+    if cfg.fmt >= 5 and qdelta:
+        from .models import matcher as M
+        qdelta = M.effective_qual_delta(qdelta, int(lengths.sum()))
+        extra["qual_nodelta"] = qdelta == 0
+    qgeom = replace(cfg.qual, depth=qual_depth, delta_bits=qdelta)
     jobs["QUAL"] = ("qual", qgeom, qs, scounts, pos, reset)
 
-    return jobs, n, int(minq), qual_depth
+    return jobs, n, int(minq), qual_depth, extra
 
 
 def decode_block_lengths(blk: EncodedBlock, cfg: CodecConfig,
@@ -334,16 +397,54 @@ def decode_block_lengths(blk: EncodedBlock, cfg: CodecConfig,
     return lengths
 
 
+def choose_match_variant(jobs, extra, backend):
+    """Per-block trial (format v5): code the SEQ stream plain and at each
+    match threshold, keep the smallest seq+match total. Returns
+    (flags, seq_payload, seq_lens, match_stream) where match_stream is the
+    EncodedStream for the MATCH slot (empty when plain wins)."""
+    kind, geom, syms, counts, pos, reset = jobs["SEQ"]
+    payload, lens = backend.encode_stream(kind, geom, syms, counts,
+                                          pos=pos, reset=reset)
+    _, bgeom, esyms, ecounts, _, _ = jobs["MATCH"]
+    best = (int(np.asarray(lens).sum()), 0, payload, lens,
+            EncodedStream(ecounts, np.zeros_like(ecounts),
+                          np.zeros((len(ecounts), 0), dtype=np.uint8)))
+    for (_t, sq_e, msyms, mcounts) in extra["match_trials"]:
+        ep, el = backend.encode_stream(kind, geom, sq_e, counts,
+                                       pos=pos, reset=reset)
+        mp, ml = backend.encode_stream("byte", bgeom, msyms, mcounts)
+        total = int(np.asarray(el).sum()) + int(np.asarray(ml).sum())
+        if total < best[0]:
+            best = (total, MATCH_USED, ep, el,
+                    EncodedStream(mcounts, ml, mp))
+    return best[1], best[2], best[3], best[4]
+
+
 def encode_block(batch: FastqBatch, cfg: CodecConfig,
                  backend=streams_np) -> EncodedBlock:
-    jobs, n, minq, qual_depth = stream_jobs(batch, cfg)
+    jobs, n, minq, qual_depth, extra = stream_jobs(batch, cfg)
     streams: dict[str, EncodedStream] = {}
-    for name in STREAMS:
+    flags = 0
+    for name in streams_for(cfg.fmt):
+        if name in ("SEQ", "MATCH"):
+            continue
         kind, geom, syms, counts, pos, reset = jobs[name]
         payload, lens = backend.encode_stream(kind, geom, syms, counts,
                                               pos=pos, reset=reset)
         streams[name] = EncodedStream(counts, lens, payload)
-    return EncodedBlock(n, minq, qual_depth, streams)
+    if cfg.fmt >= 5:
+        flags, sp, sl, mstream = choose_match_variant(jobs, extra, backend)
+        if extra["qual_nodelta"]:
+            flags |= QUAL_NODELTA
+        streams["SEQ"] = EncodedStream(jobs["SEQ"][3], sl, sp)
+        streams["MATCH"] = mstream
+    else:
+        kind, geom, syms, counts, pos, reset = jobs["SEQ"]
+        payload, lens = backend.encode_stream(kind, geom, syms, counts,
+                                              pos=pos, reset=reset)
+        streams["SEQ"] = EncodedStream(counts, lens, payload)
+    return EncodedBlock(n, minq, qual_depth, streams, flags=flags,
+                        seq_order=extra["seq_order"])
 
 
 def decode_block(blk: EncodedBlock, cfg: CodecConfig,
@@ -414,16 +515,38 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
     # 5/6. seq + qual lane streams
     _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
     ss = blk.streams["SEQ"]
-    seq_syms = backend.decode_stream("seq", cfg.seq, ss.payload, ss.lane_lens,
+    from dataclasses import replace as _replace
+    sgeom = (_replace(cfg.seq, order=blk.seq_order)
+             if (cfg.fmt >= 5 and blk.seq_order) else cfg.seq)
+    seq_syms = backend.decode_stream("seq", sgeom, ss.payload, ss.lane_lens,
                                      scounts, S, pos=pos, reset=reset)
     qs = blk.streams["QUAL"]
-    from dataclasses import replace
-    qgeom = replace(cfg.qual, depth=blk.qual_depth)
+    qgeom = _replace(cfg.qual, depth=blk.qual_depth,
+                     delta_bits=0 if (blk.flags & QUAL_NODELTA)
+                     else cfg.qual.delta_bits)
     qual_syms = backend.decode_stream("qual", qgeom, qs.payload, qs.lane_lens,
                                       scounts, S, pos=pos, reset=reset)
 
     seq_rec = _gather_record_symbols(seq_syms, lengths, W)
     qual_rec = _gather_record_symbols(qual_syms, lengths, W)
+
+    # v5: undo the e-transform over matched spans (refs walk in order)
+    if cfg.fmt >= 5 and (blk.flags & MATCH_USED):
+        from .models import matcher as M
+        ms = blk.streams["MATCH"]
+        m_syms = backend.decode_stream("byte", cfg.bytes_, ms.payload,
+                                       ms.lane_lens, ms.sym_counts,
+                                       int(ms.sym_counts.max())
+                                       if len(ms.sym_counts) else 0)
+        m_lanes = _from_lane_streams(m_syms, np.asarray(ms.sym_counts))
+        per_read: list = [None] * n
+        for w in range(Wa):
+            for ordinal, rd, orient, v in M.parse_match_lane(m_lanes[w]):
+                r = w + ordinal * Wa
+                per_read[r] = (r - rd, orient, v)
+        codes = [(seq_rec[r] & 3).astype(np.uint8) for r in range(n)]
+        M.reconstruct(codes, per_read)
+        seq_rec = codes
 
     seqs: list[bytes] = []
     quals: list[bytes] = []

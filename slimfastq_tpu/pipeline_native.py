@@ -12,8 +12,10 @@ import numpy as np
 
 from . import native
 from .config import CodecConfig
-from .pipeline import (STREAMS, EncodedBlock, EncodedStream,
-                       _seq_symbol_layout, _BASE_TO_CODE, _CODE_TO_BASE)
+from .pipeline import (MATCH_USED, QUAL_NODELTA, STREAMS, EncodedBlock,
+                       EncodedStream, _seq_symbol_layout,
+                       _to_lane_streams_perlane, streams_for,
+                       _BASE_TO_CODE, _CODE_TO_BASE)
 from .utils.bits import get_varint, put_varint
 from .ops import streams_np
 
@@ -137,7 +139,34 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         seqx_lane = [np.zeros(0, dtype=np.uint8)] * Wa
     sxsyms, sx_counts = _lanes_to_mat(seqx_lane, Wa)
     jobs["SEQX"] = ("byte", cfg.bytes_, sxsyms, sx_counts, None, None)
-    jobs["SEQ"] = ("seq", cfg.seq, sq, scounts, pos, reset)
+
+    # --- v5: per-block SEQ order fallback + long-range matches -------------
+    extra = {"seq_order": 0, "matches": None, "seq_off_local": None,
+             "qual_nodelta": False}
+    sgeom = cfg.seq
+    if cfg.fmt >= 5:
+        from dataclasses import replace as _replace
+
+        from .models import matcher as M
+        eff = M.effective_seq_order(cfg.seq.order, int(lengths.sum()))
+        if eff != cfg.seq.order:
+            sgeom = _replace(cfg.seq, order=eff)
+            extra["seq_order"] = eff
+        jobs["MATCH"] = ("byte", cfg.bytes_,
+                         np.zeros((0, Wa), dtype=np.uint8),
+                         np.zeros(Wa, dtype=np.int64), None, None)
+        if getattr(cfg, "match", False) and n > M.MATCH_CHUNK:
+            if native.has_matcher():
+                extra["matches"] = native.match_find(
+                    data, seq_off, lengths, min(M.THRESHOLDS))
+            else:
+                codes8 = [M._B2C0[data[seq_off[r]: seq_off[r] + lengths[r]]]
+                          for r in range(n)]
+                extra["matches"] = M.find_matches(codes8)
+            if not any(m is not None for m in extra["matches"]):
+                extra["matches"] = None
+            extra["seq_off_local"] = seq_off
+    jobs["SEQ"] = ("seq", sgeom, sq, scounts, pos, reset)
 
     # --- QUAL ---------------------------------------------------------------
     if n and int(lengths.sum()):
@@ -152,10 +181,81 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         qs, _, _, _ = native.pack_lanes(data, qual_off, lengths, W, S,
                                         bias=minq, dtype=np.uint8)
     from dataclasses import replace
-    qgeom = replace(cfg.qual, depth=qual_depth)
+    qdelta = cfg.qual.delta_bits
+    if cfg.fmt >= 5 and qdelta:
+        from .models import matcher as M
+        qdelta = M.effective_qual_delta(qdelta, int(lengths.sum()))
+        extra["qual_nodelta"] = qdelta == 0
+    qgeom = replace(cfg.qual, depth=qual_depth, delta_bits=qdelta)
     jobs["QUAL"] = ("qual", qgeom, qs, scounts, pos, reset)
 
-    return jobs, n, minq, qual_depth, ll_mat
+    return jobs, n, minq, qual_depth, ll_mat, extra
+
+
+def _e_rewrite_letters(dst: np.ndarray, src: np.ndarray,
+                       seq_off: np.ndarray, lengths: np.ndarray,
+                       matches, min_score: int) -> None:
+    """Rewrite matched spans of dst (a copy of src) with e-transform
+    LETTERS: letters(e) = C2B[(B2C0[read] - B2C0[ref]) & 3]. Reads refs
+    from the UNMODIFIED src (refs may already be rewritten in dst)."""
+    from .models import matcher as M
+    if native.has_matcher():
+        native.match_apply(dst, np.ascontiguousarray(src), seq_off,
+                           lengths, matches, min_score)
+        return
+    for r, m in enumerate(matches):
+        if m is None or m[3] < min_score:
+            continue
+        ref, orient, v, _ = m
+        L = int(lengths[r])
+        c_ref = M._B2C0[src[int(seq_off[ref]):
+                            int(seq_off[ref]) + int(lengths[ref])]]
+        lo_, hi_, pred = M.pred_span(c_ref, orient, v, L)
+        if hi_ <= lo_:
+            continue
+        o = int(seq_off[r])
+        c = M._B2C0[src[o + lo_: o + hi_]]
+        dst[o + lo_: o + hi_] = _CODE_TO_BASE[(c - pred) & 3]
+
+
+def _match_trials(pre_jobs_extra, data, idx, lo, hi, cfg,
+                  raw_args, sq_plain, ll_mat):
+    """Build the per-threshold SEQ alternatives for encode_prepared_block's
+    trial: [(min_score, raw_args_e | sq_e, match_syms, match_counts)]."""
+    from .models import matcher as M
+    matches = pre_jobs_extra["matches"]
+    n = hi - lo
+    sl = slice(lo, hi)
+    seq_off = idx["seq_off"][sl]
+    lengths = idx["seq_len"][sl].astype(np.int64)
+    trials = []
+    for t in M.THRESHOLDS:
+        if not any(m is not None and m[3] >= t for m in matches):
+            continue
+        mlanes = M.encode_match_lanes(matches, t, n, cfg.aux_lanes)
+        msyms, mcounts = _lanes_to_mat(mlanes, cfg.aux_lanes)
+        if raw_args is not None:
+            dpad, offs_s, offs_q, lens = raw_args
+            dpad_e = dpad.copy()
+            _e_rewrite_letters(dpad_e, dpad, offs_s, lens, matches, t)
+            alt = (dpad_e, offs_s, offs_q, lens)
+        else:
+            # rare host-pack fallback (raw span >= 2 GiB): rewrite the
+            # letters in a copy of the block bytes, then repack
+            base = int(idx["id_off"][lo]) - 1
+            last = hi - 1
+            end = int(idx["qual_off"][last] + idx["qual_len"][last])
+            blk_bytes = np.array(data[base:end], copy=True)
+            _e_rewrite_letters(blk_bytes, data[base:end],
+                               seq_off - base, lengths, matches, t)
+            W = cfg.lanes
+            S = sq_plain.shape[0] if sq_plain is not None else 0
+            alt, _, _, _ = native.pack_lanes(blk_bytes, seq_off - base,
+                                             lengths, W, S,
+                                             map256=_BASE_TO_CODE,
+                                             dtype=np.uint8)
+        trials.append((t, alt, msyms, mcounts))
+    return trials
 
 
 def prepare_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
@@ -175,7 +275,7 @@ def prepare_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         last = hi - 1
         end = int(idx["qual_off"][last] + idx["qual_len"][last])
         raw_capable = (end - base) < (1 << 31)
-    jobs, n, minq, qual_depth, ll_mat = stream_jobs_fast(
+    jobs, n, minq, qual_depth, ll_mat, extra = stream_jobs_fast(
         data, idx, lo, hi, cfg, want_pos_reset=not ll_capable,
         device_pack=raw_capable)
     raw_args = None
@@ -194,13 +294,22 @@ def prepare_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         dpad[span:] = 0
         raw_args = (dpad, idx["seq_off"][sl] - base,
                     idx["qual_off"][sl] - base, lengths)
-    return (jobs, n, minq, qual_depth, ll_mat, raw_args, ll_capable)
+    v5 = None
+    if cfg.fmt >= 5:
+        v5 = {"seq_order": extra["seq_order"], "trials": [],
+              "qual_nodelta": extra["qual_nodelta"]}
+        if extra["matches"] is not None:
+            v5["trials"] = _match_trials(extra, data, idx, lo, hi, cfg,
+                                         raw_args, jobs["SEQ"][2], ll_mat)
+    return (jobs, n, minq, qual_depth, ll_mat, raw_args, ll_capable, v5)
 
 
 def encode_prepared_block(pre, cfg: CodecConfig, backend) -> EncodedBlock:
     """Device half of encode_block_fast: code every stream of a prepared
-    block and assemble the EncodedBlock."""
-    jobs, n, minq, qual_depth, ll_mat, raw_args, ll_capable = pre
+    block and assemble the EncodedBlock. For format v5 blocks with match
+    trials, the SEQ stream is coded per trial variant and the smallest
+    seq+match total wins (flags bit0 records the choice)."""
+    jobs, n, minq, qual_depth, ll_mat, raw_args, ll_capable, v5 = pre
     raw_out = None
     if raw_args is not None:
         blk_bytes, seq_offs, qual_offs, lengths = raw_args
@@ -209,8 +318,17 @@ def encode_prepared_block(pre, cfg: CodecConfig, backend) -> EncodedBlock:
             qual_offs, lengths, cfg.lanes, _BASE_TO_CODE_DEV, minq,
             ll_mat, jobs["SEQ"][3], padded=True)
     streams: dict[str, EncodedStream] = {}
-    for name in STREAMS:
+    flags = 0
+    for name in streams_for(cfg.fmt):
         kind, geom, syms, counts, pos, reset = jobs[name]
+        if name not in ("SEQ", "QUAL") and syms.shape[0] == 0:
+            # all-empty lane stream (e.g. the MATCH slot when no trial
+            # wins): byte-identical to coding zero steps, no device call
+            c64 = np.asarray(counts).astype(np.int64)
+            streams[name] = EncodedStream(
+                c64, np.zeros_like(c64),
+                np.zeros((len(c64), 0), dtype=np.uint8))
+            continue
         if raw_out is not None and name in ("SEQ", "QUAL"):
             payload, lens = raw_out[name]
         elif ll_capable and name in ("SEQ", "QUAL"):
@@ -221,7 +339,38 @@ def encode_prepared_block(pre, cfg: CodecConfig, backend) -> EncodedBlock:
                                                   pos=pos, reset=reset)
         streams[name] = EncodedStream(np.asarray(counts).astype(np.int64),
                                       lens, payload)
-    return EncodedBlock(n, minq, qual_depth, streams)
+    if v5 is not None and v5["trials"]:
+        sgeom = jobs["SEQ"][1]
+        counts = jobs["SEQ"][3]
+        best_total = int(np.asarray(streams["SEQ"].lane_lens).sum())
+        for (t, alt, msyms, mcounts) in v5["trials"]:
+            if raw_args is not None:
+                out_e = backend.encode_seq_qual_raw(
+                    sgeom, jobs["QUAL"][1], alt[0], alt[1], alt[2],
+                    alt[3], cfg.lanes, _BASE_TO_CODE_DEV, minq, ll_mat,
+                    counts, padded=True)
+                ep, el = out_e["SEQ"]
+            elif ll_capable:
+                ep, el = backend.encode_stream_ll("seq", sgeom, alt,
+                                                  ll_mat, counts)
+            else:
+                _pos, _reset = jobs["SEQ"][4], jobs["SEQ"][5]
+                ep, el = backend.encode_stream("seq", sgeom, alt, counts,
+                                               pos=_pos, reset=_reset)
+            mp, ml = backend.encode_stream("byte", cfg.bytes_, msyms,
+                                           mcounts)
+            total = int(np.asarray(el).sum()) + int(np.asarray(ml).sum())
+            if total < best_total:
+                best_total = total
+                flags = MATCH_USED
+                streams["SEQ"] = EncodedStream(
+                    np.asarray(counts).astype(np.int64), el, ep)
+                streams["MATCH"] = EncodedStream(
+                    np.asarray(mcounts).astype(np.int64), ml, mp)
+    if v5 is not None and v5["qual_nodelta"]:
+        flags |= QUAL_NODELTA
+    return EncodedBlock(n, minq, qual_depth, streams, flags=flags,
+                        seq_order=(v5 or {}).get("seq_order", 0))
 
 
 def encode_block_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
@@ -284,19 +433,29 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
     # 4. seq exceptions (parsed + patched in C++ in the finish half)
     sx_lanes = dec_lanes("SEQX")
 
+    # 4b. v5 long-range match descriptors (reconstruction is in the
+    # finish half, after the record-major seq bytes exist)
+    m_lanes = None
+    if cfg.fmt >= 5 and (blk.flags & MATCH_USED):
+        m_lanes = dec_lanes("MATCH")
+
     # 5/6. seq + qual -> record-major flat byte buffers
     from .pipeline import _lane_lengths_matrix
     ss = blk.streams["SEQ"]
     qs = blk.streams["QUAL"]
     from dataclasses import replace
-    qgeom = replace(cfg.qual, depth=blk.qual_depth)
+    qgeom = replace(cfg.qual, depth=blk.qual_depth,
+                    delta_bits=0 if (blk.flags & QUAL_NODELTA)
+                    else cfg.qual.delta_bits)
+    sgeom = (replace(cfg.seq, order=blk.seq_order)
+             if (cfg.fmt >= 5 and blk.seq_order) else cfg.seq)
     rec_starts = np.zeros(n, dtype=np.int64)
     rec_starts[1:] = np.cumsum(lengths[:-1])
     total = int(lengths.sum())
 
     if skip_seq_qual:
         return (n, prev_step, lengths, flags, idd_lanes, idx_lanes,
-                sx_lanes, rec_starts, None, None)
+                sx_lanes, rec_starts, None, None, m_lanes)
 
     if (hasattr(backend, "decode_seq_qual_raw") and native.available()
             and total < (1 << 31)):   # int32 device offsets (see encode)
@@ -306,7 +465,7 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
         scounts = ll_mat.sum(axis=0)
         S = int(scounts.max()) if scounts.size else 0
         seq_bytes, qual_bytes = backend.decode_seq_qual_raw(
-            cfg.seq, qgeom, ss.payload, ss.lane_lens, qs.payload,
+            sgeom, qgeom, ss.payload, ss.lane_lens, qs.payload,
             qs.lane_lens, ll_mat, scounts, S, rec_starts, lengths, total,
             _CODE_TO_BASE_FULL, blk.minq)
     else:
@@ -314,7 +473,7 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
             ll_mat = _lane_lengths_matrix(lengths, W)
             scounts = ll_mat.sum(axis=0)
             S = int(scounts.max()) if scounts.size else 0
-            seq_syms = backend.decode_stream_ll("seq", cfg.seq, ss.payload,
+            seq_syms = backend.decode_stream_ll("seq", sgeom, ss.payload,
                                                 ss.lane_lens, ll_mat,
                                                 scounts, S)
             qual_syms = backend.decode_stream_ll("qual", qgeom, qs.payload,
@@ -322,7 +481,7 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
                                                  scounts, S)
         else:
             _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
-            seq_syms = backend.decode_stream("seq", cfg.seq, ss.payload,
+            seq_syms = backend.decode_stream("seq", sgeom, ss.payload,
                                              ss.lane_lens, scounts, S,
                                              pos=pos, reset=reset)
             qual_syms = backend.decode_stream("qual", qgeom, qs.payload,
@@ -336,16 +495,50 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
                                          total, bias=blk.minq)
 
     return (n, prev_step, lengths, flags, idd_lanes, idx_lanes, sx_lanes,
-            rec_starts, seq_bytes, qual_bytes)
+            rec_starts, seq_bytes, qual_bytes, m_lanes)
+
+
+def _match_reconstruct_letters(seq_bytes: np.ndarray, rec_starts, lengths,
+                               m_lanes, Wa: int, n: int) -> np.ndarray:
+    """Undo the v5 e-transform on the record-major LETTER buffer, in
+    record order (refs are reconstructed before their dependents)."""
+    from .models import matcher as M
+    if native.has_matcher():
+        return native.match_reconstruct(seq_bytes, rec_starts, lengths,
+                                        m_lanes, Wa, n)
+    out = np.array(seq_bytes, copy=True)
+    per_read: dict[int, tuple[int, int, int]] = {}
+    for w in range(Wa):
+        for ordinal, rd, orient, v in M.parse_match_lane(
+                np.asarray(m_lanes[w]).tobytes()):
+            r = w + ordinal * Wa
+            per_read[r] = (r - rd, orient, v)
+    for r in sorted(per_read):  # record order: refs reconstruct first
+        ref, orient, v = per_read[r]
+        o = int(rec_starts[r])
+        L = int(lengths[r])
+        c_ref = M._B2C0[out[int(rec_starts[ref]):
+                            int(rec_starts[ref]) + int(lengths[ref])]]
+        lo_, hi_, pred = M.pred_span(c_ref, orient, v, L)
+        if hi_ <= lo_:
+            continue
+        e = M._B2C0[out[o + lo_: o + hi_]]
+        out[o + lo_: o + hi_] = _CODE_TO_BASE[(e + pred) & 3]
+    return out
 
 
 def decode_block_finish(inter, cfg: CodecConfig) -> memoryview | bytes:
-    """Host half of block decode: ID chain decode, SEQX patch, FASTQ
-    assembly. Returns a bytes-like (memoryview, zero-copy)."""
+    """Host half of block decode: ID chain decode, v5 match
+    reconstruction, SEQX patch, FASTQ assembly. Returns a bytes-like
+    (memoryview, zero-copy)."""
     if inter is None:
         return b""
     (n, prev_step, lengths, flags, idd_lanes, idx_lanes, sx_lanes,
-     rec_starts, seq_bytes, qual_bytes) = inter
+     rec_starts, seq_bytes, qual_bytes, m_lanes) = inter
+    if m_lanes is not None:
+        seq_bytes = _match_reconstruct_letters(
+            np.asarray(seq_bytes), rec_starts, lengths, m_lanes,
+            cfg.aux_lanes, n)
     ida, ioff, ilen, pla, poff, plen = native.ids_decode(
         n, cfg.aux_lanes, flags, idd_lanes, idx_lanes, prev_step)
     # SEQX exception runs are patched into the ASSEMBLED output's seq

@@ -114,7 +114,8 @@ def test_container_report():
     rep = container_report(enc)
     assert rep["records"] == 300
     assert rep["blocks"] == 3
-    assert set(rep["stream_bytes"]) == set(container.STREAMS)
+    from slimfastq_tpu.pipeline import streams_for
+    assert set(rep["stream_bytes"]) == set(streams_for(container.VERSION))
     assert rep["header_overhead_bytes"] > 0
     assert (sum(rep["stream_bytes"].values())
             + rep["header_overhead_bytes"] == len(enc))

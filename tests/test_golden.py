@@ -5,9 +5,9 @@ CNT_SHIFT, the pad-coding rule, the update law, config.py level geometries,
 container.py framing) fails here even when round-trip tests still pass —
 old containers in the wild would stop decoding.
 
-Fixtures live in tests/data/; golden_v4_l*.sfq pin the current format,
-golden_v1.* / golden_v2_l*.sfq / golden_v3_l*.sfq pin backward decode
-compatibility with round-1 / round-2 containers.
+Fixtures live in tests/data/; golden_v5_l*.sfq pin the current format,
+golden_v1.* / golden_v2_l*.sfq / golden_v3_l*.sfq / golden_v4_l*.sfq pin
+backward decode compatibility with containers from earlier rounds.
 """
 
 import io
@@ -59,7 +59,7 @@ def test_container_golden_per_level(level):
     """Whole-container bytes are pinned per level (container framing +
     every stream's coded bytes)."""
     data = _read("golden_v2.fastq")
-    golden = _read(f"golden_v4_l{level}.sfq")
+    golden = _read(f"golden_v5_l{level}.sfq")
     enc = encode_fastq(data, level=level, lanes=32, aux_lanes=8,
                        block_records=160, use_native=False)
     assert enc == golden, \
@@ -75,7 +75,25 @@ def test_container_golden_native_matches():
     data = _read("golden_v2.fastq")
     enc = encode_fastq(data, level=3, lanes=32, aux_lanes=8,
                        block_records=160, use_native=True)
-    assert enc == _read("golden_v4_l3.sfq")
+    assert enc == _read("golden_v5_l3.sfq")
+
+
+@pytest.mark.parametrize(
+    "level", [3] + [pytest.param(lv, marks=pytest.mark.slow)
+                    for lv in (1, 2, 4)])
+def test_v4_container_still_decodes(level):
+    """Round-3-shipped VERSION 4 containers decode bit-exactly at every
+    level: v5 minus the MATCH stream and the per-block flag/seq_order
+    bytes (always zero in v4 blocks)."""
+    old = _read(f"golden_v4_l{level}.sfq")
+    f = io.BytesIO(old)
+    cfg = container.read_header(f)
+    assert cfg.fmt == 4 and cfg.level == level
+    ref = _read("golden_v2.fastq")
+    assert decode_fastq(old, use_native=False) == ref
+    from slimfastq_tpu import native
+    if native.available():
+        assert decode_fastq(old, use_native=True) == ref
 
 
 @pytest.mark.parametrize(
@@ -149,10 +167,13 @@ def test_frozen_constants():
     assert (R.PROB_BITS, R.PROB_MIN, R.PROB_MAX) == (12, 16, 4080)
     assert (R.RENORM_ITERS, R.FLUSH_BYTES, R.STEP_BUCKET) == (4, 4, 256)
     assert (R.CAP_LOG2, R.CNT_SHIFT) == (4, 22)
-    # VERSION 4 (round 3): visit-count adaptation warm-up — two geometry
-    # bytes (qual.rate_lo, seq.rate_lo) appended to the header; the
-    # warm-up law is frozen in ranger_np.table_update's docstring
-    assert container.VERSION == 4
+    # VERSION 5 (round 4): long-range read-match stream (MATCH) + the
+    # per-block flags/seq_order bytes; the descriptor layout, e-transform
+    # and prediction rule are frozen in models/matcher.py's docstring
+    assert container.VERSION == 5
+    from slimfastq_tpu.models import matcher as M
+    assert (M.K, M.SAMPLE_MASK, M.MAX_CAND) == (16, 7, 16)
+    assert (M.MM_PENALTY, M.MATCH_CHUNK) == (8, 1024)
 
 
 def test_reencode_with_legacy_cfg_stamps_matching_version():
