@@ -33,6 +33,8 @@ def _free_port() -> int:
 @pytest.mark.parametrize("nproc,records", [
     (2, 200),   # 4 blocks over 2 procs
     (4, 420),   # 7 blocks over 4 procs: UNEVEN assignment (2/2/2/1)
+    (8, 680),   # 11 blocks over 8 procs: 2/2/2/1/1/1/1/1 — the closest
+                # this 1-chip harness gets to a pod-slice 8-shard merge
 ])
 def test_multiprocess_encode_merge_equals_single(tmp_path, nproc, records):
     data = synth_fastq(records, read_len=30, seed=17, var_len=True)
