@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "sequential)")
     p.add_argument("--resume", action="store_true",
                    help="with --streaming: continue an interrupted output")
+    p.add_argument("--block-records", type=int, default=None,
+                   metavar="N",
+                   help="records per independently-decodable block "
+                        "(encode only; default 65536). Smaller blocks "
+                        "shard/recover at finer grain, larger blocks "
+                        "compress better")
     p.add_argument("--version", action="version",
                    version=f"sfq {__version__}")
     p.set_defaults(level=3)
@@ -118,6 +124,10 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         return 0
 
+    overrides = {}
+    if args.block_records:
+        overrides["block_records"] = args.block_records
+
     if args.streaming and not args.decode:
         if args.input == "-" or not args.output:
             print("sfq: --streaming needs a file input and -o output",
@@ -133,12 +143,13 @@ def main(argv: list[str] | None = None) -> int:
                 from .parallel.sharded import encode_file_streaming_sharded
                 encode_file_streaming_sharded(args.input, args.output,
                                               level=args.level,
-                                              resume=args.resume)
+                                              resume=args.resume,
+                                              **overrides)
             else:
                 from .api import encode_file_streaming
                 encode_file_streaming(args.input, args.output,
                                       level=args.level, backend=backend,
-                                      resume=args.resume)
+                                      resume=args.resume, **overrides)
         except ValueError as e:
             print(f"sfq: {e}", file=sys.stderr)
             return 1
@@ -162,10 +173,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.sharded:
             from .config import config_for_level
             from .parallel.sharded import encode_fastq_sharded
-            result = encode_fastq_sharded(data,
-                                          config_for_level(args.level))
+            result = encode_fastq_sharded(
+                data, config_for_level(args.level, **overrides))
         else:
-            result = encode_fastq(data, level=args.level, backend=backend)
+            result = encode_fastq(data, level=args.level, backend=backend,
+                                  **overrides)
     except ValueError as e:
         print(f"sfq: {e}", file=sys.stderr)
         return 1

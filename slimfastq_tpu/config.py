@@ -57,17 +57,32 @@ class SeqGeom:
     Partial contexts (the first j < k bases of a read) are disambiguated
     exactly: ctx = rolled_bases + (4^j - 1)/3, i.e. every node of the depth-k
     4-ary prefix tree owns a table row, so a fresh read never aliases a run
-    of A's. num_ctx = (4^(k+1) - 1)/3.
+    of A's. tree_ctx = (4^(k+1) - 1)/3.
+
+    match_bits (format v5): when > 0, the context space grows by a
+    dedicated *match family* of 2^match_bits contexts used at positions
+    inside an accepted long-range match span (models/matcher.py):
+    ctx = tree_ctx + (h & (2^match_bits - 1)) where h is the rolling
+    2-bit coded-symbol (e-symbol) history. e-spans are near-zero runs
+    with occasional mismatches; routing them through the genome tree cost
+    span-entry and post-mismatch pollution worth 8-16% of the SEQ stream
+    on coverage data (tools/probe_matchctx.py).
     """
     order: int = 10         # k previous bases of context
     rate: int = 4
     rate_lo: int = 0        # format v4 visit-count warm-up (see QualGeom)
+    match_bits: int = 0     # v5 dedicated match-context family (0 = none)
 
     depth: int = 2          # 2 bits per base — fixed
 
     @property
-    def num_ctx(self) -> int:
+    def tree_ctx(self) -> int:
         return ((1 << (2 * (self.order + 1))) - 1) // 3
+
+    @property
+    def num_ctx(self) -> int:
+        return self.tree_ctx + ((1 << self.match_bits)
+                                if self.match_bits else 0)
 
     @property
     def sac_base(self) -> int:
@@ -197,7 +212,8 @@ LEVELS: dict[int, CodecConfig] = {
     4: CodecConfig(level=4, match=True,
                    qual=QualGeom(q2_bits=6, delta_bits=2, pos_bits=1,
                                  pos_shift=6, rate=5, rate_lo=1),
-                   seq=SeqGeom(order=11, rate=3, rate_lo=1)),
+                   seq=SeqGeom(order=11, rate=3, rate_lo=1,
+                               match_bits=4)),
 }
 
 # FROZEN: the level table as of the final container-format-1 build.

@@ -11,11 +11,15 @@ Format VERSION 5 = VERSION 4 + the long-range read-match stream and the
 per-block SEQ order fallback (round-3 VERDICT items #4/#5):
   * blocks carry an 8th stream, MATCH (models/matcher.py is the frozen
     descriptor + e-transform rule); the block-header reserved u16 becomes
-    u8 flags (bit0: SEQ symbols are e-transformed) + u8 seq_order (the
-    SEQ context order actually used; 0 = the header geometry's default).
-    Both bytes were always written as zero by v2-v4 encoders, so the
-    block framing is layout-compatible.
-  * The header is byte-identical to v4 apart from the version field.
+    u8 flags (bit0: SEQ symbols are e-transformed; bit1: QUAL coded with
+    delta_bits=0) + u8 seq_order (the SEQ context order actually used;
+    0 = the header geometry's default). Both bytes were always written
+    as zero by v2-v4 encoders, so the block framing is layout-compatible.
+  * SEQ positions inside a match span use a dedicated match-context
+    family (config.SeqGeom.match_bits; ctx = tree_ctx + low bits of the
+    rolling e-symbol history).
+  * The header appends one geometry byte (seq.match_bits) after v4's
+    rate_lo pair.
 v1-v4 containers keep decoding (their stream inventory has no MATCH and
 their flag/seq_order bytes are zero).
 
@@ -81,7 +85,7 @@ MAGIC = b"SFQT"
 END_MAGIC = b"SFQE"
 VERSION = 5
 
-HEADER_SIZE = {1: 20, 2: 36, 3: 36, 4: 38, 5: 38}
+HEADER_SIZE = {1: 20, 2: 36, 3: 36, 4: 38, 5: 39}
 
 # streams whose per-lane symbol counts the decoder can derive (FLAG from
 # record count; SEQ/QUAL from decoded read lengths) — not stored
@@ -150,6 +154,8 @@ def write_header(f: BinaryIO, cfg: CodecConfig) -> None:
                        b.rate, fl.hist_bits, fl.rate)
     if ver >= 4:
         hdr += struct.pack("<2B", q.rate_lo, s.rate_lo)
+    if ver >= 5:
+        hdr += struct.pack("<B", s.match_bits)
     hdr += struct.pack("<I", zlib.crc32(bytes(hdr)))
     f.write(bytes(hdr))
 
@@ -181,16 +187,19 @@ def read_header(f: BinaryIO) -> CodecConfig:
     level, _flags, lanes, aux, blockrec = struct.unpack_from("<BBIII", hdr, 6)
     (qd, qq2, qdb, qpb, qps, qr, so, sr, bo, br, fh, fr) = \
         struct.unpack_from("<12B", hdr, 20)
-    qlo = slo = 0
-    if version >= 4:  # v5 header layout matches v4
+    qlo = slo = smb = 0
+    if version >= 4:
         qlo, slo = struct.unpack_from("<2B", hdr, 32)
+    if version >= 5:  # v5 appends the seq match-context width
+        (smb,) = struct.unpack_from("<B", hdr, 34)
     base = config_for_level(level, lanes=lanes, aux_lanes=aux,
                             block_records=blockrec)
     return replace(base, fmt=version,
                    qual=QualGeom(depth=qd, q2_bits=qq2, delta_bits=qdb,
                                  pos_bits=qpb, pos_shift=qps, rate=qr,
                                  rate_lo=qlo),
-                   seq=SeqGeom(order=so, rate=sr, rate_lo=slo),
+                   seq=SeqGeom(order=so, rate=sr, rate_lo=slo,
+                               match_bits=smb),
                    bytes_=ByteGeom(order=bo, rate=br),
                    flags=FlagGeom(hist_bits=fh, rate=fr))
 

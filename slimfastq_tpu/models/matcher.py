@@ -48,6 +48,17 @@ reproduce it bit-for-bit; tests pin equality):
   * Best candidate by the total order (score, ref, -orient, -zigzag(v))
     maximised; accepted iff score >= min_score.
 
+Match-context family (FROZEN, format v5 — config.SeqGeom.match_bits):
+when the block's SEQ geometry carries match_bits > 0, positions inside
+an accepted match span are coded under a dedicated context family
+    ctx = tree_ctx + (h & (2^match_bits - 1))
+where h is the SEQ context's rolling 2-bit coded-symbol history (which
+holds e-symbols there). Positions outside spans use the normal order-k
+prefix-tree rule; h rolls over ALL coded symbols either way. Routing
+e-spans through the genome tree instead cost 8-16% of the SEQ stream in
+span-entry and post-mismatch context pollution (tools/probe_matchctx.py:
+novaseq SEQ -15.7%, illumina -49% at threshold 48).
+
 The minimum-score threshold is an ENCODER knob (like an LZ matcher's
 effort): it never affects decodability. encode_block trial-codes the SEQ
 stream for THRESHOLDS plus plain and keeps the smallest total
@@ -244,6 +255,34 @@ def parse_match_lane(buf) -> list[tuple[int, int, int, int]]:
         v = (zz >> 1) if (zz & 1) == 0 else -((zz + 1) >> 1)
         out.append((ordinal, rd, orient, v))
     return out
+
+
+def spans(per_read, lengths) -> list[tuple[int, int, int]]:
+    """(r, lo, hi) spans for per_read[r] = (ref, orient, v) | None."""
+    out = []
+    for r, m in enumerate(per_read):
+        if m is None:
+            continue
+        ref, orient, v = m[0], m[1], m[2]
+        lo, hi = span_bounds(orient, v, int(lengths[r]),
+                             int(lengths[ref]))
+        if hi > lo:
+            out.append((r, lo, hi))
+    return out
+
+
+def span_flags_flat(span_list, rec_starts, total: int) -> np.ndarray:
+    """Record-major uint8 match flags (1 inside a span) from (r, lo, hi)
+    spans — interval diff + cumsum (spans are per-read disjoint)."""
+    d = np.zeros(total + 1, dtype=np.int32)
+    if span_list:
+        rs = np.array([int(rec_starts[r]) for (r, _lo, _hi) in span_list],
+                      dtype=np.int64)
+        los = np.array([lo for (_r, lo, _hi) in span_list], dtype=np.int64)
+        his = np.array([hi for (_r, _lo, hi) in span_list], dtype=np.int64)
+        np.add.at(d, rs + los, 1)
+        np.add.at(d, rs + his, -1)
+    return (np.cumsum(d[:-1]) > 0).astype(np.uint8)
 
 
 def reconstruct(codes: list[np.ndarray],

@@ -119,9 +119,12 @@ def _load():
         lib.match_apply.restype = None
         lib.match_apply.argtypes = [p8, p8, pi64, pi64, i64, pi64, p8,
                                     pi64, pi64, i64]
-        lib.match_reconstruct.restype = i64
-        lib.match_reconstruct.argtypes = [p8, pi64, pi64, i64, pp8, pi64,
-                                          i64]
+        lib.match_parse.restype = i64
+        lib.match_parse.argtypes = [pp8, pi64, i64, i64, pi64, pi64, p8,
+                                    pi64]
+        lib.match_reconstruct_arrays.restype = None
+        lib.match_reconstruct_arrays.argtypes = [p8, pi64, pi64, pi64,
+                                                 pi64, p8, pi64, i64]
     except AttributeError:
         pass
 
@@ -575,19 +578,34 @@ def match_apply(dst: np.ndarray, src: np.ndarray, seq_off: np.ndarray,
                     min_score)
 
 
-def match_reconstruct(seq_bytes: np.ndarray, rec_starts: np.ndarray,
-                      lengths: np.ndarray, m_lanes: list, wa: int,
-                      n: int) -> np.ndarray:
-    """Decode-side v5 reconstruction: parse the MATCH descriptor lanes and
-    undo the e-transform on a copy of the record-major letter buffer."""
-    out = np.array(seq_bytes, dtype=np.uint8, copy=True)
+def match_parse(m_lanes: list, wa: int, n: int):
+    """Parse decoded MATCH descriptor lanes into record-sorted arrays
+    (recs, refs, orients, vs). Raises ValueError on a corrupt stream."""
     bufs = [np.ascontiguousarray(b, dtype=np.uint8) for b in m_lanes]
     sizes = np.array([len(b) for b in bufs], dtype=np.int64)
     ptrs, _keep = _bufptrs(bufs)
-    r = lib.match_reconstruct(_p8(out),
-                              _pi64(np.ascontiguousarray(rec_starts)),
-                              _pi64(np.ascontiguousarray(lengths)), n,
-                              ptrs, _pi64(sizes), wa)
-    if r < 0:
+    recs = np.empty(max(n, 1), dtype=np.int64)
+    refs = np.empty(max(n, 1), dtype=np.int64)
+    orients = np.empty(max(n, 1), dtype=np.uint8)
+    vs = np.empty(max(n, 1), dtype=np.int64)
+    m = lib.match_parse(ptrs, _pi64(sizes), wa, n, _pi64(recs),
+                        _pi64(refs), _p8(orients), _pi64(vs))
+    if m < 0:
         raise ValueError("corrupt MATCH descriptor stream")
+    return recs[:m], refs[:m], orients[:m], vs[:m]
+
+
+def match_reconstruct_arrays(seq_bytes: np.ndarray, rec_starts: np.ndarray,
+                             lengths: np.ndarray, m_arr) -> np.ndarray:
+    """Decode-side v5 reconstruction from parsed descriptor arrays: undo
+    the e-transform on a copy of the record-major letter buffer."""
+    out = np.array(seq_bytes, dtype=np.uint8, copy=True)
+    recs, refs, orients, vs = m_arr
+    lib.match_reconstruct_arrays(
+        _p8(out), _pi64(np.ascontiguousarray(rec_starts)),
+        _pi64(np.ascontiguousarray(lengths)),
+        _pi64(np.ascontiguousarray(recs)),
+        _pi64(np.ascontiguousarray(refs)),
+        _p8(np.ascontiguousarray(orients)),
+        _pi64(np.ascontiguousarray(vs)), len(recs))
     return out

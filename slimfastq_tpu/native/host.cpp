@@ -1764,14 +1764,13 @@ void match_apply(uint8_t* dst, const uint8_t* src, const int64_t* seq_off,
     }
 }
 
-// Decode-side reconstruction: parse the per-aux-lane MATCH descriptor
-// streams and undo the e-transform in record order, in place.
-// Returns 0 on success, -1 on a corrupt descriptor stream.
-int64_t match_reconstruct(uint8_t* seq, const int64_t* rec_starts,
-                          const int64_t* lens, int64_t n,
-                          const uint8_t* const* lane_bufs,
-                          const int64_t* lane_sizes, int64_t wa) {
-    m_b2c0_init();
+// Parse the per-aux-lane MATCH descriptor streams into record-sorted
+// arrays (cap n entries: at most one descriptor per record). Returns the
+// descriptor count, or -1 on a corrupt stream.
+int64_t match_parse(const uint8_t* const* lane_bufs,
+                    const int64_t* lane_sizes, int64_t wa, int64_t n,
+                    int64_t* out_rec, int64_t* out_ref,
+                    uint8_t* out_orient, int64_t* out_v) {
     struct Desc { int64_t r, ref, v; int orient; };
     std::vector<Desc> ds;
     for (int64_t w = 0; w < wa; w++) {
@@ -1785,6 +1784,7 @@ int64_t match_reconstruct(uint8_t* seq, const int64_t* rec_starts,
             ordinal += (int64_t)d;
             int64_t r = w + ordinal * wa;
             if (r < 0 || r >= n || rd == 0 || (int64_t)rd > r) return -1;
+            if ((int64_t)ds.size() >= n) return -1;
             uint64_t zz = tok >> 1;
             int64_t v = (zz & 1) ? -(int64_t)((zz + 1) >> 1)
                                  : (int64_t)(zz >> 1);
@@ -1793,25 +1793,41 @@ int64_t match_reconstruct(uint8_t* seq, const int64_t* rec_starts,
     }
     std::sort(ds.begin(), ds.end(),
               [](const Desc& a, const Desc& b) { return a.r < b.r; });
-    for (const Desc& dsc : ds) {
-        int64_t L = lens[dsc.r], lref = lens[dsc.ref];
-        uint8_t* s = seq + rec_starts[dsc.r];
-        const uint8_t* sr = seq + rec_starts[dsc.ref];
+    for (size_t i = 0; i < ds.size(); i++) {
+        out_rec[i] = ds[i].r;
+        out_ref[i] = ds[i].ref;
+        out_orient[i] = (uint8_t)ds[i].orient;
+        out_v[i] = ds[i].v;
+    }
+    return (int64_t)ds.size();
+}
+
+// Undo the e-transform in record order, in place, from parsed
+// (record-sorted) descriptor arrays.
+void match_reconstruct_arrays(uint8_t* seq, const int64_t* rec_starts,
+                              const int64_t* lens, const int64_t* recs,
+                              const int64_t* refs, const uint8_t* orients,
+                              const int64_t* vs, int64_t m) {
+    m_b2c0_init();
+    for (int64_t i = 0; i < m; i++) {
+        int64_t r = recs[i], ref = refs[i], v = vs[i];
+        int64_t L = lens[r], lref = lens[ref];
+        uint8_t* s = seq + rec_starts[r];
+        const uint8_t* sr = seq + rec_starts[ref];
         int64_t lo, hi;
-        if (dsc.orient == 0) {
-            lo = dsc.v < 0 ? -dsc.v : 0;
-            hi = L < lref - dsc.v ? L : lref - dsc.v;
-            for (int64_t i = lo; i < hi; i++)
-                s[i] = M_C2B[(M_B2C0[s[i]] + M_B2C0[sr[i + dsc.v]]) & 3];
+        if (orients[i] == 0) {
+            lo = v < 0 ? -v : 0;
+            hi = L < lref - v ? L : lref - v;
+            for (int64_t j = lo; j < hi; j++)
+                s[j] = M_C2B[(M_B2C0[s[j]] + M_B2C0[sr[j + v]]) & 3];
         } else {
-            lo = L + dsc.v - lref > 0 ? L + dsc.v - lref : 0;
-            hi = L < L + dsc.v ? L : L + dsc.v;
-            for (int64_t i = lo; i < hi; i++)
-                s[i] = M_C2B[(M_B2C0[s[i]]
-                              + (3 - M_B2C0[sr[L - 1 + dsc.v - i]])) & 3];
+            lo = L + v - lref > 0 ? L + v - lref : 0;
+            hi = L < L + v ? L : L + v;
+            for (int64_t j = lo; j < hi; j++)
+                s[j] = M_C2B[(M_B2C0[s[j]]
+                              + (3 - M_B2C0[sr[L - 1 + v - j]])) & 3];
         }
     }
-    return 0;
 }
 
 }  // extern "C"

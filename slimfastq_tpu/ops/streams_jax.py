@@ -88,9 +88,11 @@ def _seq_offsets(k: int) -> np.ndarray:
              - np.uint32(1)) // np.uint32(3)).astype(np.uint32)
 
 
-def _ctx_precompute(kind: str, geom, syms, pos, reset):
+def _ctx_precompute(kind: str, geom, syms, pos, reset, mflag=None):
     """Closed-form [T, W] context streams for the ENCODE path. Must equal
-    the oracle's carried-state contexts at every active step."""
+    the oracle's carried-state contexts at every active step. mflag
+    (seq only, format v5): 1 at positions inside a match span — those
+    use the dedicated match-context family."""
     rs = reset == U32(1)
     if kind == "qual":
         a = jnp.where(rs, U32(0), _shift_t(syms, 1))
@@ -117,7 +119,12 @@ def _ctx_precompute(kind: str, geom, syms, pos, reset):
                               _shift_t(syms, j) << U32(2 * (j - 1)), U32(0))
         offsets = jnp.asarray(_seq_offsets(k))
         j = jnp.minimum(pos.astype(I32), I32(k))
-        return h + offsets[j]
+        ctx = h + offsets[j]
+        if mflag is not None and geom.match_bits:
+            mctx = (U32(geom.tree_ctx)
+                    + (h & U32((1 << geom.match_bits) - 1)))
+            ctx = jnp.where(mflag == U32(1), mctx, ctx)
+        return ctx
     if kind == "byte":
         return _shift_t(syms, 1) if geom.order else jnp.zeros_like(syms)
     if kind == "flag":
@@ -135,7 +142,7 @@ def _ctx_init(kind: str, W: int):
     return (jnp.zeros(W, U32),)
 
 
-def _ctx_step(kind: str, geom, cst, pos_t, reset_t):
+def _ctx_step(kind: str, geom, cst, pos_t, reset_t, mflag_t=None):
     """Online (decode) context: mirrors streams_np step_ctx exactly."""
     rs = reset_t == U32(1)
     if kind == "qual":
@@ -160,7 +167,12 @@ def _ctx_step(kind: str, geom, cst, pos_t, reset_t):
         h = jnp.where(rs, U32(0), h)
         offsets = jnp.asarray(_seq_offsets(geom.order))
         j = jnp.minimum(pos_t.astype(I32), I32(geom.order))
-        return h + offsets[j], (h,)
+        ctx = h + offsets[j]
+        if mflag_t is not None and geom.match_bits:
+            mctx = (U32(geom.tree_ctx)
+                    + (h & U32((1 << geom.match_bits) - 1)))
+            ctx = jnp.where(mflag_t == U32(1), mctx, ctx)
+        return ctx, (h,)
     if kind == "byte":
         (pb,) = cst
         return (pb if geom.order else jnp.zeros_like(pb)), (pb,)
@@ -192,18 +204,21 @@ def _ctx_advance(kind: str, geom, cst, sym):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _build_schedule(kind: str, geom, Sp: int, W: int):
+def _build_schedule(kind: str, geom, Sp: int, W: int,
+                    with_mflag: bool = False):
     depth = geom.depth
     num_ctx = geom.num_ctx
     KD = _CHUNK_SYMS * depth
     NC = Sp // _CHUNK_SYMS
 
     @jax.jit
-    def run(syms, poss, resets, counts):
+    def run(syms, poss, resets, counts, mflag=None):
         syms = syms.astype(U32)     # uint8 boundary: upcast once, pre-scan
         steps = jax.lax.broadcasted_iota(I32, (Sp, W), 0)
         active = steps < counts[None, :].astype(I32)
-        ctx = _ctx_precompute(kind, geom, syms, poss, resets)
+        ctx = _ctx_precompute(kind, geom, syms, poss, resets,
+                              mflag=(mflag.astype(U32)
+                                     if mflag is not None else None))
         ctx = jnp.where(active, ctx, U32(num_ctx)).astype(I32)
         sym = jnp.where(active, syms, U32(0))
         nodes = (1 << depth) - 1
@@ -218,6 +233,8 @@ def _build_schedule(kind: str, geom, Sp: int, W: int):
         bit_all = jnp.stack(bit_list, axis=1).reshape(NC, KD, W)
         return idx_all, bit_all
 
+    # with_mflag only keys the cache: calls without mflag trace to the
+    # exact historical program (the mflag branch is a Python-level check)
     return run
 
 
@@ -242,7 +259,8 @@ def _pos_reset_device(lane_lens, Sp: int, S: int, W: int):
 
 
 @functools.lru_cache(maxsize=256)
-def _build_schedule_ll(kind: str, geom, Sp: int, S: int, W: int, Rpl: int):
+def _build_schedule_ll(kind: str, geom, Sp: int, S: int, W: int, Rpl: int,
+                       with_mflag: bool = False):
     """Schedule builder that derives pos/reset on device from the per-lane
     record-length matrix — no [Sp, W] aux transfers from the host."""
     depth = geom.depth
@@ -251,12 +269,14 @@ def _build_schedule_ll(kind: str, geom, Sp: int, S: int, W: int, Rpl: int):
     NC = Sp // _CHUNK_SYMS
 
     @jax.jit
-    def run(syms, lane_lens, counts):
+    def run(syms, lane_lens, counts, mflag=None):
         syms = syms.astype(U32)     # uint8 boundary: upcast once, pre-scan
         poss, resets = _pos_reset_device(lane_lens, Sp, S, W)
         steps = jax.lax.broadcasted_iota(I32, (Sp, W), 0)
         active = steps < counts[None, :].astype(I32)
-        ctx = _ctx_precompute(kind, geom, syms, poss, resets)
+        ctx = _ctx_precompute(kind, geom, syms, poss, resets,
+                              mflag=(mflag.astype(U32)
+                                     if mflag is not None else None))
         ctx = jnp.where(active, ctx, U32(num_ctx)).astype(I32)
         sym = jnp.where(active, syms, U32(0))
         nodes = (1 << depth) - 1
@@ -427,8 +447,13 @@ def _compact_host(ebufs, eptrs, low, counts, CB):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
-    """Lw: payload words (uint32) per lane."""
+def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int,
+                  with_mflag: bool = False):
+    """Lw: payload words (uint32) per lane. with_mflag (seq, format v5):
+    the kernel takes an extra chunked [NC, K, W] match-span flag input
+    and selects the match-context family at flagged steps — a separate
+    cache entry, so non-match streams keep the exact historical program
+    shape (compile-cliff rule)."""
     depth, rate = geom.depth, geom.rate
     rate_lo = getattr(geom, "rate_lo", 0)
     warm = 0 < rate_lo < rate   # v4 visit-count warm-up (see encode)
@@ -440,7 +465,7 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
     word_off_np = np.arange(W, dtype=np.int32) * Lw
 
     @jax.jit
-    def run(paywords, lens, acts, poss, resets):
+    def run(paywords, lens, acts, poss, resets, mflags=None):
         # acts/poss/resets: [NC, K, W]. paywords/lens travel in the scan
         # carry: values gathered inside the hot loop MUST be loop-carried so
         # XLA keeps them VMEM-resident (see module docstring).
@@ -474,7 +499,11 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
             else:
                 low, rngs, code, ptr, table, cst, words, lens32 = carry
                 vtab = None
-            acts_c, poss_c, resets_c = xs
+            if mflags is None:
+                acts_c, poss_c, resets_c = xs
+                mflags_c = None
+            else:
+                acts_c, poss_c, resets_c, mflags_c = xs
             sbuf = jnp.zeros((K, W), U32)
 
             def symstep(i, st):
@@ -486,7 +515,9 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
                      lens32) = st
                     vtab = None
                 act = acts_c[i] == 1
-                ctx, cst = _ctx_step(kind, geom, cst, poss_c[i], resets_c[i])
+                ctx, cst = _ctx_step(kind, geom, cst, poss_c[i], resets_c[i],
+                                     mflag_t=(mflags_c[i] if mflags_c
+                                              is not None else None))
                 ctx = jnp.where(act, ctx, U32(num_ctx))
                 nodes = (1 << depth) - 1
                 base = ctx.astype(I32) * I32(nodes)
@@ -575,7 +606,9 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
                      cst0, paywords, lens0)
         else:
             carry = (low, rngs, code, ptr, table, cst0, paywords, lens0)
-        carry, sbufs = jax.lax.scan(chunk, carry, (acts, poss, resets))
+        xs = (acts, poss, resets) if mflags is None else \
+            (acts, poss, resets, mflags)
+        carry, sbufs = jax.lax.scan(chunk, carry, xs)
         # uint8 boundary: whole-array downcast AFTER the scan (symbols fit
         # in a byte at every depth <= 8) -> 4x smaller device->host copy
         return sbufs.reshape(Sp, W).astype(jnp.uint8)
@@ -585,20 +618,27 @@ def _build_decode(kind: str, geom, Sp: int, W: int, Lw: int):
 
 @functools.lru_cache(maxsize=256)
 def _build_decode_ll(kind: str, geom, Sp: int, S: int, W: int, Rpl: int,
-                     Lw: int):
+                     Lw: int, with_mflag: bool = False):
     """Decode with acts/pos/reset derived on device from counts and the
-    per-lane record-length matrix."""
-    inner = _build_decode(kind, geom, Sp, W, Lw)
+    per-lane record-length matrix. with_mflag: takes the [S, W] match
+    flag matrix (host-built from the MATCH descriptors) as an extra arg."""
+    inner = _build_decode(kind, geom, Sp, W, Lw, with_mflag=with_mflag)
     K = _CHUNK_SYMS
     NC = Sp // K
 
     @jax.jit
-    def run(paywords, lens, lane_lens, counts):
+    def run(paywords, lens, lane_lens, counts, mflag=None):
         poss, resets = _pos_reset_device(lane_lens, Sp, S, W)
         steps = jax.lax.broadcasted_iota(I32, (Sp, W), 0)
         acts = (steps < counts[None, :].astype(I32)).astype(I32)
+        if mflag is None:
+            return inner(paywords, lens, acts.reshape(NC, K, W),
+                         poss.reshape(NC, K, W), resets.reshape(NC, K, W))
+        mf = jnp.zeros((Sp, W), U32).at[:mflag.shape[0]].set(
+            mflag.astype(U32))
         return inner(paywords, lens, acts.reshape(NC, K, W),
-                     poss.reshape(NC, K, W), resets.reshape(NC, K, W))
+                     poss.reshape(NC, K, W), resets.reshape(NC, K, W),
+                     mf.reshape(NC, K, W))
 
     return run
 
@@ -617,19 +657,23 @@ def _pad2(x, Sp, W):
 
 def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
                   pos: np.ndarray | None = None,
-                  reset: np.ndarray | None = None):
+                  reset: np.ndarray | None = None,
+                  mflag: np.ndarray | None = None):
     S, W = syms.shape
     counts = np.asarray(counts)
     Sp = R.pad_steps(S)
     if Sp == 0 or not (counts > 0).any():
         return np.zeros((W, 0), dtype=np.uint8), np.zeros(W, dtype=np.int64)
     from ..utils.stats import trace
-    sched = _build_schedule(kind, geom, Sp, W)
+    sched = _build_schedule(kind, geom, Sp, W, with_mflag=mflag is not None)
     with trace(f"sfq.encode.{kind}.schedule"):
-        idx_c, bit_c = sched(jnp.asarray(_pad2(syms, Sp, W)),
-                             jnp.asarray(_pad2(pos, Sp, W)),
-                             jnp.asarray(_pad2(reset, Sp, W)),
-                             jnp.asarray(counts.astype(np.int32)))
+        args = (jnp.asarray(_pad2(syms, Sp, W)),
+                jnp.asarray(_pad2(pos, Sp, W)),
+                jnp.asarray(_pad2(reset, Sp, W)),
+                jnp.asarray(counts.astype(np.int32)))
+        if mflag is not None:
+            args = args + (jnp.asarray(_pad2(mflag, Sp, W)),)
+        idx_c, bit_c = sched(*args)
     for hard in (False, True):
         run = _build_encode(kind, geom, Sp, W, hard)
         with trace(f"sfq.encode.{kind}.coder"):
@@ -716,7 +760,8 @@ def _compact_device_path(ebufs, eptrs, low, counts, CB):
 
 
 def encode_stream_ll(kind: str, geom, syms: np.ndarray,
-                     lane_len_mat: np.ndarray, counts: np.ndarray):
+                     lane_len_mat: np.ndarray, counts: np.ndarray,
+                     mflag: np.ndarray | None = None):
     """encode_stream variant for per-read streams (qual/seq): pos/reset
     are derived on device from the per-lane record-length matrix, so the
     host ships only symbols + the small length matrix."""
@@ -729,11 +774,14 @@ def encode_stream_ll(kind: str, geom, syms: np.ndarray,
     ll = np.zeros((Rpl, W), dtype=np.int32)
     ll[: lane_len_mat.shape[0]] = lane_len_mat
     from ..utils.stats import trace
-    sched = _build_schedule_ll(kind, geom, Sp, S, W, Rpl)
+    sched = _build_schedule_ll(kind, geom, Sp, S, W, Rpl,
+                               with_mflag=mflag is not None)
     with trace(f"sfq.encode.{kind}.schedule"):
-        idx_c, bit_c = sched(jnp.asarray(_pad2(syms, Sp, W)),
-                             jnp.asarray(ll),
-                             jnp.asarray(counts.astype(np.int32)))
+        args = (jnp.asarray(_pad2(syms, Sp, W)), jnp.asarray(ll),
+                jnp.asarray(counts.astype(np.int32)))
+        if mflag is not None:
+            args = args + (jnp.asarray(_pad2(mflag, Sp, W)),)
+        idx_c, bit_c = sched(*args)
     for hard in (False, True):
         run = _build_encode(kind, geom, Sp, W, hard)
         with trace(f"sfq.encode.{kind}.coder"):
@@ -749,7 +797,8 @@ def encode_stream_ll(kind: str, geom, syms: np.ndarray,
 
 def decode_stream_ll(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
                      lane_len_mat: np.ndarray, counts: np.ndarray,
-                     num_steps: int) -> np.ndarray:
+                     num_steps: int,
+                     mflag: np.ndarray | None = None) -> np.ndarray:
     """decode_stream variant with device-derived acts/pos/reset."""
     W = payload.shape[0]
     counts = np.asarray(counts)
@@ -769,10 +818,14 @@ def decode_stream_ll(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
     ll = np.zeros((Rpl, W), dtype=np.int32)
     ll[: lane_len_mat.shape[0]] = lane_len_mat
     from ..utils.stats import trace
-    run = _build_decode_ll(kind, geom, Sp, S, W, Rpl, Lw)
+    run = _build_decode_ll(kind, geom, Sp, S, W, Rpl, Lw,
+                           with_mflag=mflag is not None)
     with trace(f"sfq.decode.{kind}.coder"):
-        syms = run(jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
-                   jnp.asarray(ll), jnp.asarray(counts.astype(np.int32)))
+        args = (jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
+                jnp.asarray(ll), jnp.asarray(counts.astype(np.int32)))
+        if mflag is not None:
+            args = args + (jnp.asarray(np.ascontiguousarray(mflag)),)
+        syms = run(*args)
     out = np.asarray(syms)[:S]
     mask = np.arange(S)[:, None] < counts[None, :]
     return np.where(mask, out, np.uint8(0))
@@ -781,7 +834,8 @@ def decode_stream_ll(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
 def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
                   counts: np.ndarray, num_steps: int,
                   pos: np.ndarray | None = None,
-                  reset: np.ndarray | None = None) -> np.ndarray:
+                  reset: np.ndarray | None = None,
+                  mflag: np.ndarray | None = None) -> np.ndarray:
     W = payload.shape[0]
     counts = np.asarray(counts)
     S = num_steps
@@ -803,11 +857,15 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
     poss = _pad2(pos, Sp, W).reshape(NC, K, W)
     resets = _pad2(reset, Sp, W).reshape(NC, K, W)
     from ..utils.stats import trace
-    run = _build_decode(kind, geom, Sp, W, Lw)
+    run = _build_decode(kind, geom, Sp, W, Lw,
+                        with_mflag=mflag is not None)
     with trace(f"sfq.decode.{kind}.coder"):
-        syms = run(jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
-                   jnp.asarray(acts), jnp.asarray(poss),
-                   jnp.asarray(resets))
+        args = (jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
+                jnp.asarray(acts), jnp.asarray(poss), jnp.asarray(resets))
+        if mflag is not None:
+            args = args + (jnp.asarray(
+                _pad2(mflag, Sp, W).astype(np.uint32).reshape(NC, K, W)),)
+        syms = run(*args)
     out = np.asarray(syms)[:S]
     mask = np.arange(S)[:, None] < counts[None, :]
     return np.where(mask, out, np.uint8(0))
@@ -824,7 +882,8 @@ def encode_seq_qual_raw(seq_geom, qual_geom, data: np.ndarray,
                         seq_offs: np.ndarray, qual_offs: np.ndarray,
                         lengths: np.ndarray, W: int, seq_map: np.ndarray,
                         qual_bias: int, ll_mat: np.ndarray,
-                        counts: np.ndarray, padded: bool = False):
+                        counts: np.ndarray, padded: bool = False,
+                        seq_mflag: np.ndarray | None = None):
     """Encode the SEQ and QUAL streams from raw block bytes with
     on-device lane packing. Returns {"SEQ": (payload, lens), "QUAL": ...}
     byte-identical to encode_stream_ll on host-packed matrices.
@@ -857,9 +916,14 @@ def encode_seq_qual_raw(seq_geom, qual_geom, data: np.ndarray,
     out = {}
     for name, kind, geom, syms in (("SEQ", "seq", seq_geom, seq_syms),
                                    ("QUAL", "qual", qual_geom, qual_syms)):
-        sched = _build_schedule_ll(kind, geom, Sp, S, W, Rpl)
+        use_mf = name == "SEQ" and seq_mflag is not None
+        sched = _build_schedule_ll(kind, geom, Sp, S, W, Rpl,
+                                   with_mflag=use_mf)
         with trace(f"sfq.encode.{kind}.schedule"):
-            idx_c, bit_c = sched(syms, ll_dev, counts_dev)
+            args = (syms, ll_dev, counts_dev)
+            if use_mf:
+                args = args + (jnp.asarray(_pad2(seq_mflag, Sp, W)),)
+            idx_c, bit_c = sched(*args)
         for hard in (False, True):
             run = _build_encode(kind, geom, Sp, W, hard)
             with trace(f"sfq.encode.{kind}.coder"):
@@ -885,7 +949,8 @@ def decode_seq_qual_raw(seq_geom, qual_geom,
                         qual_payload: np.ndarray, qual_lens: np.ndarray,
                         ll_mat: np.ndarray, counts: np.ndarray, S: int,
                         rec_starts: np.ndarray, lengths: np.ndarray,
-                        total: int, seq_map: np.ndarray, qual_bias: int):
+                        total: int, seq_map: np.ndarray, qual_bias: int,
+                        seq_mflag: np.ndarray | None = None):
     """Decode SEQ and QUAL and unpack them on device straight to
     record-major flat byte buffers (seq through seq_map, qual + bias).
     Returns (seq_bytes, qual_bytes) of length `total`."""
@@ -913,11 +978,16 @@ def decode_seq_qual_raw(seq_geom, qual_geom,
         pay[:, : payload.shape[1]] = payload
         Lw = Lb // 4
         words = pay.view("<u4").reshape(W * Lw)
-        run = _build_decode_ll(kind, geom, Sp, S, W, Rpl, Lw)
+        use_mf = kind == "seq" and seq_mflag is not None
+        run = _build_decode_ll(kind, geom, Sp, S, W, Rpl, Lw,
+                               with_mflag=use_mf)
         with trace(f"sfq.decode.{kind}.coder"):
-            dev_syms.append(run(jnp.asarray(words),
-                                jnp.asarray(lens.astype(np.int32)),
-                                ll_dev, counts_dev))
+            args = (jnp.asarray(words), jnp.asarray(lens.astype(np.int32)),
+                    ll_dev, counts_dev)
+            if use_mf:
+                args = args + (jnp.asarray(
+                    np.ascontiguousarray(seq_mflag)),)
+            dev_syms.append(run(*args))
     with trace("sfq.decode.unpack_pair"):
         seq_flat, qual_flat = pack_jax.unpack_pair_device(
             dev_syms[0], dev_syms[1], rec_starts, lengths, W, total,

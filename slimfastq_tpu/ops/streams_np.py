@@ -70,10 +70,19 @@ class SeqCtx:
         self.offsets = (((U32(1) << (2 * np.arange(k + 1, dtype=U32)))
                          - U32(1)) // U32(3)).astype(U32)
 
-    def step_ctx(self, t: int, pos: np.ndarray, reset: np.ndarray) -> np.ndarray:
+    def step_ctx(self, t: int, pos: np.ndarray, reset: np.ndarray,
+                 mflag: np.ndarray | None = None) -> np.ndarray:
         self.h = np.where(reset.astype(bool), U32(0), self.h)
         j = np.minimum(pos.astype(np.int64), self.g.order)
-        return self.h + self.offsets[j]
+        ctx = self.h + self.offsets[j]
+        if self.g.match_bits and mflag is not None:
+            # v5 match-context family: inside an accepted match span the
+            # context is the low bits of the rolling e-symbol history
+            # (frozen rule — models/matcher.py docstring)
+            mctx = (U32(self.g.tree_ctx)
+                    + (self.h & U32((1 << self.g.match_bits) - 1)))
+            ctx = np.where(mflag.astype(bool), mctx, ctx)
+        return ctx
 
     def advance(self, sym: np.ndarray) -> None:
         self.h = ((self.h << U32(2)) | sym.astype(U32)) & self.mask
@@ -113,12 +122,14 @@ def _geom_fields(geom):
 
 def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
                   pos: np.ndarray | None = None,
-                  reset: np.ndarray | None = None):
+                  reset: np.ndarray | None = None,
+                  mflag: np.ndarray | None = None):
     """Encode [S, W] symbols. Returns (payload uint8[W, maxlen], lens[W]).
 
     Pad-coded lockstep format: all lanes code pad_steps(S) steps; steps
     beyond a lane's own count code symbol 0 in the sacrificial context.
-    Lanes with zero symbols contribute no bytes.
+    Lanes with zero symbols contribute no bytes. mflag ([S, W], seq
+    streams only): positions inside a v5 match span (match-ctx family).
     """
     S, W = syms.shape
     syms = syms.astype(U32, copy=False)   # uint8 boundary: oracle is U32
@@ -136,7 +147,11 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
         active = counts > t
         p_t = pos[t] if pos is not None and t < S else z
         r_t = reset[t] if reset is not None and t < S else z
-        ctx = ctxer.step_ctx(t, p_t, r_t)
+        if kind == "seq":
+            m_t = mflag[t] if mflag is not None and t < S else None
+            ctx = ctxer.step_ctx(t, p_t, r_t, mflag=m_t)
+        else:
+            ctx = ctxer.step_ctx(t, p_t, r_t)
         ctx = np.where(active, ctx, U32(num_ctx))
         sym = (np.where(active, syms[t], 0).astype(U32)
                if t < S else z)
@@ -152,7 +167,8 @@ def encode_stream(kind: str, geom, syms: np.ndarray, counts: np.ndarray,
 def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
                   counts: np.ndarray, num_steps: int,
                   pos: np.ndarray | None = None,
-                  reset: np.ndarray | None = None) -> np.ndarray:
+                  reset: np.ndarray | None = None,
+                  mflag: np.ndarray | None = None) -> np.ndarray:
     """Decode back to uint32[S, W] symbols (0 where inactive)."""
     W = payload.shape[0]
     depth, rate, tsize, sac_base, num_ctx = _geom_fields(geom)
@@ -171,7 +187,11 @@ def decode_stream(kind: str, geom, payload: np.ndarray, lens: np.ndarray,
         active = counts > t
         p_t = pos[t] if pos is not None and t < S else z
         r_t = reset[t] if reset is not None and t < S else z
-        ctx = ctxer.step_ctx(t, p_t, r_t)
+        if kind == "seq":
+            m_t = mflag[t] if mflag is not None and t < S else None
+            ctx = ctxer.step_ctx(t, p_t, r_t, mflag=m_t)
+        else:
+            ctx = ctxer.step_ctx(t, p_t, r_t)
         ctx = np.where(active, ctx, U32(num_ctx))
         sym = R.decode_symbols(dec, table, ctx, depth, rate, sac_base,
                                vtable=vtable, rate_lo=rate_lo)

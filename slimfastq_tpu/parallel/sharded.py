@@ -116,7 +116,7 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
     for b in range(B):
         v5 = pres[b][7]
         if v5 is not None:
-            for (t, _alt, _ms, _mc) in v5["trials"]:
+            for (t, _alt, _ms, _mc, _mf) in v5["trials"]:
                 trial_blocks.setdefault(t, []).append(b)
     if trial_blocks:
         best_total = {b: int(np.asarray(results[b]["SEQ"].lane_lens).sum())
@@ -128,21 +128,25 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
                 continue
             trial = {b: tr for b in tb for tr in pres[b][7]["trials"]
                      if tr[0] == t}
-            raw_tb = [b for b in tb if pres[b][5] is not None]
-            e_out = pmesh.encode_seq_qual_raw_blocks(
-                [sgeoms[b] for b in raw_tb], mesh,
-                [trial[b][1] for b in raw_tb],
-                [np.asarray(pres[b][0]["SEQ"][3]) for b in raw_tb],
-                [pres[b][0]["QUAL"][1] for b in raw_tb],
-                [pres[b][2] for b in raw_tb],
-                _BASE_TO_CODE_DEV)
-            seq_e: dict[int, tuple] = {b: e_out[i]["SEQ"]
-                                       for i, b in enumerate(raw_tb)}
+            # the e-variant SEQ encodes run per block (the match-context
+            # kernel variant takes the per-block [S, W] flag matrix;
+            # match-heavy L4 blocks are the rare case worth the serial
+            # device calls — bytes are batch-independent either way)
+            seq_e: dict[int, tuple] = {}
             for b in tb:
-                if b not in seq_e:  # rare non-raw fallback: ll path
+                t_, alt, msyms, mcounts, mflag = trial[b]
+                counts_b = pres[b][0]["SEQ"][3]
+                if pres[b][5] is not None:
+                    out_e = streams_jax.encode_seq_qual_raw(
+                        sgeoms[b], pres[b][0]["QUAL"][1], alt[0], alt[1],
+                        alt[2], alt[3], cfg.lanes, _BASE_TO_CODE_DEV,
+                        pres[b][2], pres[b][4], counts_b, padded=True,
+                        seq_mflag=mflag)
+                    seq_e[b] = out_e["SEQ"]
+                else:  # rare non-raw fallback: ll path
                     seq_e[b] = streams_jax.encode_stream_ll(
-                        "seq", sgeoms[b], trial[b][1],
-                        pres[b][4], pres[b][0]["SEQ"][3])
+                        "seq", sgeoms[b], alt, pres[b][4], counts_b,
+                        mflag=mflag)
             m_enc = pmesh.encode_stream_blocks(
                 "byte", cfg.bytes_, mesh,
                 [trial[b][2] for b in tb],
@@ -264,6 +268,7 @@ def _oracle_match_trials(all_jobs, extras, results, mesh, cfg):
     from ..models.matcher import THRESHOLDS
     best_total = {b: int(np.asarray(results[b]["SEQ"].lane_lens).sum())
                   for b in range(B)}
+    from ..ops import streams_jax
     for t in THRESHOLDS:
         tb = [b for b in range(B)
               if any(tr[0] == t for tr in extras[b]["match_trials"])]
@@ -271,27 +276,13 @@ def _oracle_match_trials(all_jobs, extras, results, mesh, cfg):
             continue
         trial = {b: tr for b in tb for tr in extras[b]["match_trials"]
                  if tr[0] == t}
-        seq_enc = pmesh.encode_stream_blocks(
-            "seq", all_jobs[tb[0]]["SEQ"][1], mesh,
-            [trial[b][1] for b in tb],
-            [np.asarray(all_jobs[b]["SEQ"][3]) for b in tb],
-            [all_jobs[b]["SEQ"][4] for b in tb],
-            [all_jobs[b]["SEQ"][5] for b in tb]) \
-            if len({all_jobs[b]["SEQ"][1] for b in tb}) == 1 else None
-        if seq_enc is None:  # mixed seq geometries: group per geometry
-            seq_enc = [None] * len(tb)
-            geo_groups: dict[object, list[int]] = {}
-            for i, b in enumerate(tb):
-                geo_groups.setdefault(all_jobs[b]["SEQ"][1], []).append(i)
-            for g, iidx in geo_groups.items():
-                sub = pmesh.encode_stream_blocks(
-                    "seq", g, mesh,
-                    [trial[tb[i]][1] for i in iidx],
-                    [np.asarray(all_jobs[tb[i]]["SEQ"][3]) for i in iidx],
-                    [all_jobs[tb[i]]["SEQ"][4] for i in iidx],
-                    [all_jobs[tb[i]]["SEQ"][5] for i in iidx])
-                for j, i in enumerate(iidx):
-                    seq_enc[i] = sub[j]
+        # e-variant SEQ encodes run per block (match-context kernel takes
+        # the per-block flag matrix); the MATCH streams stay batched
+        seq_enc = [streams_jax.encode_stream(
+            "seq", all_jobs[b]["SEQ"][1], trial[b][1],
+            np.asarray(all_jobs[b]["SEQ"][3]),
+            pos=all_jobs[b]["SEQ"][4], reset=all_jobs[b]["SEQ"][5],
+            mflag=trial[b][4]) for b in tb]
         m_enc = pmesh.encode_stream_blocks(
             "byte", cfg.bytes_, mesh,
             [trial[b][2] for b in tb],
@@ -353,12 +344,44 @@ def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
         return []
     W = cfg.lanes
 
-    # 1. aux halves per block (LEN/FLAG/IDD/IDX/SEQX; recovers lengths)
+    # 1. aux halves per block (LEN/FLAG/IDD/IDX/SEQX/MATCH; recovers
+    # lengths + parsed match descriptors)
     inters = [decode_block_device(blk, cfg, streams_jax,
                                   skip_seq_qual=True) for blk in blocks]
 
+    # match-heavy blocks (v5): decoded per block (the match-context SEQ
+    # kernel takes the per-block flag matrix); the batched path below
+    # handles the rest — bytes are batch-independent either way
+    match_sq: dict[int, tuple] = {}
+    for b, it in enumerate(inters):
+        if it is not None and it[10] is not None:
+            from ..pipeline_native import _match_mflag
+            from ..pipeline import _lane_lengths_matrix as _llm
+            from dataclasses import replace as _rep
+            blk = blocks[b]
+            lengths = it[2]
+            ll = _llm(lengths, W)
+            scounts = ll.sum(axis=0)
+            S = int(scounts.max()) if scounts.size else 0
+            mflag = _match_mflag(it[10], it[7], lengths, W, scounts)
+            sg = (_rep(cfg.seq, order=blk.seq_order) if blk.seq_order
+                  else cfg.seq)
+            from ..pipeline import QUAL_NODELTA as _QND
+            qg = _rep(cfg.qual, depth=blk.qual_depth,
+                      delta_bits=0 if (blk.flags & _QND)
+                      else cfg.qual.delta_bits)
+            from ..pipeline_native import _CODE_TO_BASE_FULL as _C2BF
+            match_sq[b] = streams_jax.decode_seq_qual_raw(
+                sg, qg, blk.streams["SEQ"].payload,
+                blk.streams["SEQ"].lane_lens,
+                blk.streams["QUAL"].payload,
+                blk.streams["QUAL"].lane_lens, ll, scounts, S, it[7],
+                lengths, int(lengths.sum()), _C2BF, blk.minq,
+                seq_mflag=mflag)
+
     # 2. SEQ+QUAL: batched device decode + unpack
-    live = [b for b, it in enumerate(inters) if it is not None]
+    live = [b for b, it in enumerate(inters)
+            if it is not None and b not in match_sq]
     pay_s = [blocks[b].streams["SEQ"].payload for b in live]
     lens_s = [blocks[b].streams["SEQ"].lane_lens for b in live]
     pay_q = [blocks[b].streams["QUAL"].payload for b in live]
@@ -392,7 +415,7 @@ def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
         if inter is None:
             parts.append(decode_block_finish(None, cfg))
             continue
-        seq_bytes, qual_bytes = next(it)
+        seq_bytes, qual_bytes = match_sq[b] if b in match_sq else next(it)
         parts.append(decode_block_finish(
             inter[:8] + (seq_bytes, qual_bytes) + inter[10:], cfg))
     return parts
@@ -472,10 +495,11 @@ def _decode_blocks_oracle(blocks, cfg: CodecConfig, mesh) -> list:
 
     # seq/qual geometries may differ per block (v5 order fallback;
     # 6/7-bit qual depth); group per geometry
-    def _grouped_decode(kind, geoms, pays, lens):
+    def _grouped_decode(kind, geoms, pays, lens, only=None):
+        sel = only if only is not None else range(len(blocks))
         groups: dict[object, list[int]] = {}
-        for b, g in enumerate(geoms):
-            groups.setdefault(g, []).append(b)
+        for b in sel:
+            groups.setdefault(geoms[b], []).append(b)
         dec: list = [None] * len(blocks)
         for g, idxs in groups.items():
             res = pmesh.decode_stream_blocks(
@@ -487,24 +511,31 @@ def _decode_blocks_oracle(blocks, cfg: CodecConfig, mesh) -> list:
                 dec[b] = res[i]
         return dec
 
-    seq_dec = _grouped_decode("seq", sgeoms, pay_seq, len_seq)
+    # blocks with MATCH_USED need the per-block flag matrix inside the
+    # SEQ decode: leave their seq to decode_block (the _Precomputed shim
+    # delegates), batch only the plain blocks
+    from ..pipeline import MATCH_USED as _MU
+    plain = [b for b, blk in enumerate(blocks)
+             if not (cfg.fmt >= 5 and (blk.flags & _MU))]
+    seq_dec = _grouped_decode("seq", sgeoms, pay_seq, len_seq, only=plain)
     qual_dec = _grouped_decode("qual", qgeoms, pay_q, len_q)
 
     # 2. finish each block on the host with the precomputed matrices
     class _Precomputed:
         """Backend shim: serves the sharded-decoded SEQ/QUAL matrices and
-        delegates aux streams to the sequential device backend."""
+        delegates everything else (aux streams; match blocks' SEQ, which
+        needs the per-block flag matrix) to the sequential backend."""
 
         def __init__(self, seq_syms, qual_syms):
             self._served = {"seq": seq_syms, "qual": qual_syms}
 
         def decode_stream(self, kind, geom, payload, lens, counts,
-                          num_steps, pos=None, reset=None):
-            if kind in self._served:
+                          num_steps, pos=None, reset=None, mflag=None):
+            if self._served.get(kind) is not None:
                 return self._served[kind]
             return streams_jax.decode_stream(kind, geom, payload, lens,
                                              counts, num_steps, pos=pos,
-                                             reset=reset)
+                                             reset=reset, mflag=mflag)
 
     parts = []
     for b, blk in enumerate(blocks):

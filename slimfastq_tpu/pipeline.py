@@ -349,7 +349,8 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
         empty = np.zeros((0, Wa), dtype=U32)
         zc = np.zeros(Wa, dtype=np.int64)
         jobs["MATCH"] = ("byte", cfg.bytes_, empty, zc, None, None)
-        if getattr(cfg, "match", False) and n > M.MATCH_CHUNK:
+        if getattr(cfg, "match", False) and sgeom.match_bits \
+                and n > M.MATCH_CHUNK:
             codes8 = [c.astype(np.uint8) for c in seq_codes]
             matches = M.find_matches(codes8)
             for t in M.THRESHOLDS:
@@ -358,9 +359,17 @@ def stream_jobs(batch: FastqBatch, cfg: CodecConfig):
                 e8 = M.apply_e_transform(codes8, matches, t)
                 sq_e = _scatter_record_symbols(
                     [e.astype(U32) for e in e8], W, S, scounts)
+                per_read = [m[:3] if (m and m[3] >= t) else None
+                            for m in matches]
+                mfl = [np.zeros(len(c), dtype=np.uint8) for c in codes8]
+                for (r, lo_, hi_) in M.spans(per_read, lengths):
+                    mfl[r][lo_:hi_] = 1
+                mflag = _scatter_record_symbols(
+                    [f.astype(U32) for f in mfl], W, S, scounts)
                 mlanes = M.encode_match_lanes(matches, t, n, Wa)
                 msyms, mcounts = _to_lane_streams_perlane(mlanes, Wa)
-                extra["match_trials"].append((t, sq_e, msyms, mcounts))
+                extra["match_trials"].append((t, sq_e, msyms, mcounts,
+                                              mflag))
 
     qs = _scatter_record_symbols(qual_syms_rec, W, S, scounts)
     qdelta = cfg.qual.delta_bits
@@ -409,9 +418,9 @@ def choose_match_variant(jobs, extra, backend):
     best = (int(np.asarray(lens).sum()), 0, payload, lens,
             EncodedStream(ecounts, np.zeros_like(ecounts),
                           np.zeros((len(ecounts), 0), dtype=np.uint8)))
-    for (_t, sq_e, msyms, mcounts) in extra["match_trials"]:
+    for (_t, sq_e, msyms, mcounts, mflag) in extra["match_trials"]:
         ep, el = backend.encode_stream(kind, geom, sq_e, counts,
-                                       pos=pos, reset=reset)
+                                       pos=pos, reset=reset, mflag=mflag)
         mp, ml = backend.encode_stream("byte", bgeom, msyms, mcounts)
         total = int(np.asarray(el).sum()) + int(np.asarray(ml).sum())
         if total < best[0]:
@@ -512,14 +521,38 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
         for ordinal, bpos, ch in parse_seqx_lane(sx_lanes[w], cfg.fmt):
             exc_by_rec.setdefault(w + ordinal * Wa, []).append((bpos, ch))
 
+    # 5. v5 match descriptors (parsed BEFORE the SEQ decode: the match
+    # spans select the dedicated context family inside the seq coder)
+    per_read: list = [None] * n
+    mflag = None
+    if cfg.fmt >= 5 and (blk.flags & MATCH_USED):
+        from .models import matcher as M
+        ms = blk.streams["MATCH"]
+        m_syms = backend.decode_stream("byte", cfg.bytes_, ms.payload,
+                                       ms.lane_lens, ms.sym_counts,
+                                       int(ms.sym_counts.max())
+                                       if len(ms.sym_counts) else 0)
+        m_lanes = _from_lane_streams(m_syms, np.asarray(ms.sym_counts))
+        for w in range(Wa):
+            for ordinal, rd, orient, v in M.parse_match_lane(m_lanes[w]):
+                r = w + ordinal * Wa
+                per_read[r] = (r - rd, orient, v)
+        mfl = [np.zeros(int(L), dtype=np.uint8) for L in lengths]
+        for (r, lo_, hi_) in M.spans(per_read, lengths):
+            mfl[r][lo_:hi_] = 1
+
     # 5/6. seq + qual lane streams
     _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
+    if cfg.fmt >= 5 and (blk.flags & MATCH_USED):
+        mflag = _scatter_record_symbols(
+            [f.astype(U32) for f in mfl], W, S, scounts)
     ss = blk.streams["SEQ"]
     from dataclasses import replace as _replace
     sgeom = (_replace(cfg.seq, order=blk.seq_order)
              if (cfg.fmt >= 5 and blk.seq_order) else cfg.seq)
     seq_syms = backend.decode_stream("seq", sgeom, ss.payload, ss.lane_lens,
-                                     scounts, S, pos=pos, reset=reset)
+                                     scounts, S, pos=pos, reset=reset,
+                                     mflag=mflag)
     qs = blk.streams["QUAL"]
     qgeom = _replace(cfg.qual, depth=blk.qual_depth,
                      delta_bits=0 if (blk.flags & QUAL_NODELTA)
@@ -533,17 +566,6 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
     # v5: undo the e-transform over matched spans (refs walk in order)
     if cfg.fmt >= 5 and (blk.flags & MATCH_USED):
         from .models import matcher as M
-        ms = blk.streams["MATCH"]
-        m_syms = backend.decode_stream("byte", cfg.bytes_, ms.payload,
-                                       ms.lane_lens, ms.sym_counts,
-                                       int(ms.sym_counts.max())
-                                       if len(ms.sym_counts) else 0)
-        m_lanes = _from_lane_streams(m_syms, np.asarray(ms.sym_counts))
-        per_read: list = [None] * n
-        for w in range(Wa):
-            for ordinal, rd, orient, v in M.parse_match_lane(m_lanes[w]):
-                r = w + ordinal * Wa
-                per_read[r] = (r - rd, orient, v)
         codes = [(seq_rec[r] & 3).astype(np.uint8) for r in range(n)]
         M.reconstruct(codes, per_read)
         seq_rec = codes

@@ -221,19 +221,30 @@ def _e_rewrite_letters(dst: np.ndarray, src: np.ndarray,
 def _match_trials(pre_jobs_extra, data, idx, lo, hi, cfg,
                   raw_args, sq_plain, ll_mat):
     """Build the per-threshold SEQ alternatives for encode_prepared_block's
-    trial: [(min_score, raw_args_e | sq_e, match_syms, match_counts)]."""
+    trial: [(min_score, raw_args_e | sq_e, match_syms, match_counts,
+    mflag [S, W])]."""
     from .models import matcher as M
     matches = pre_jobs_extra["matches"]
     n = hi - lo
     sl = slice(lo, hi)
     seq_off = idx["seq_off"][sl]
     lengths = idx["seq_len"][sl].astype(np.int64)
+    rec_starts = np.zeros(n, dtype=np.int64)
+    rec_starts[1:] = np.cumsum(lengths[:-1])
+    total = int(lengths.sum())
+    scounts = np.asarray(ll_mat).sum(axis=0)
+    S = int(scounts.max()) if scounts.size else 0
     trials = []
     for t in M.THRESHOLDS:
         if not any(m is not None and m[3] >= t for m in matches):
             continue
         mlanes = M.encode_match_lanes(matches, t, n, cfg.aux_lanes)
         msyms, mcounts = _lanes_to_mat(mlanes, cfg.aux_lanes)
+        per_read = [m[:3] if (m and m[3] >= t) else None for m in matches]
+        flag_flat = M.span_flags_flat(M.spans(per_read, lengths),
+                                      rec_starts, total)
+        mflag, _, _, _ = native.pack_lanes(flag_flat, rec_starts, lengths,
+                                           cfg.lanes, S, dtype=np.uint8)
         if raw_args is not None:
             dpad, offs_s, offs_q, lens = raw_args
             dpad_e = dpad.copy()
@@ -254,7 +265,7 @@ def _match_trials(pre_jobs_extra, data, idx, lo, hi, cfg,
                                              lengths, W, S,
                                              map256=_BASE_TO_CODE,
                                              dtype=np.uint8)
-        trials.append((t, alt, msyms, mcounts))
+        trials.append((t, alt, msyms, mcounts, mflag))
     return trials
 
 
@@ -343,20 +354,22 @@ def encode_prepared_block(pre, cfg: CodecConfig, backend) -> EncodedBlock:
         sgeom = jobs["SEQ"][1]
         counts = jobs["SEQ"][3]
         best_total = int(np.asarray(streams["SEQ"].lane_lens).sum())
-        for (t, alt, msyms, mcounts) in v5["trials"]:
+        for (t, alt, msyms, mcounts, mflag) in v5["trials"]:
             if raw_args is not None:
                 out_e = backend.encode_seq_qual_raw(
                     sgeom, jobs["QUAL"][1], alt[0], alt[1], alt[2],
                     alt[3], cfg.lanes, _BASE_TO_CODE_DEV, minq, ll_mat,
-                    counts, padded=True)
+                    counts, padded=True, seq_mflag=mflag)
                 ep, el = out_e["SEQ"]
             elif ll_capable:
                 ep, el = backend.encode_stream_ll("seq", sgeom, alt,
-                                                  ll_mat, counts)
+                                                  ll_mat, counts,
+                                                  mflag=mflag)
             else:
                 _pos, _reset = jobs["SEQ"][4], jobs["SEQ"][5]
                 ep, el = backend.encode_stream("seq", sgeom, alt, counts,
-                                               pos=_pos, reset=_reset)
+                                               pos=_pos, reset=_reset,
+                                               mflag=mflag)
             mp, ml = backend.encode_stream("byte", cfg.bytes_, msyms,
                                            mcounts)
             total = int(np.asarray(el).sum()) + int(np.asarray(ml).sum())
@@ -433,11 +446,14 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
     # 4. seq exceptions (parsed + patched in C++ in the finish half)
     sx_lanes = dec_lanes("SEQX")
 
-    # 4b. v5 long-range match descriptors (reconstruction is in the
-    # finish half, after the record-major seq bytes exist)
-    m_lanes = None
+    # 4b. v5 long-range match descriptors: parsed HERE because the match
+    # spans select the SEQ coder's dedicated context family (the
+    # reconstruction itself happens in the finish half)
+    m_arr = None
+    seq_mflag = None
     if cfg.fmt >= 5 and (blk.flags & MATCH_USED):
         m_lanes = dec_lanes("MATCH")
+        m_arr = _parse_match_lanes(m_lanes, Wa, n)
 
     # 5/6. seq + qual -> record-major flat byte buffers
     from .pipeline import _lane_lengths_matrix
@@ -455,7 +471,7 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
 
     if skip_seq_qual:
         return (n, prev_step, lengths, flags, idd_lanes, idx_lanes,
-                sx_lanes, rec_starts, None, None, m_lanes)
+                sx_lanes, rec_starts, None, None, m_arr)
 
     if (hasattr(backend, "decode_seq_qual_raw") and native.available()
             and total < (1 << 31)):   # int32 device offsets (see encode)
@@ -464,26 +480,37 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
         ll_mat = _lane_lengths_matrix(lengths, W)
         scounts = ll_mat.sum(axis=0)
         S = int(scounts.max()) if scounts.size else 0
+        if m_arr is not None:
+            seq_mflag = _match_mflag(m_arr, rec_starts, lengths, W,
+                                     scounts)
         seq_bytes, qual_bytes = backend.decode_seq_qual_raw(
             sgeom, qgeom, ss.payload, ss.lane_lens, qs.payload,
             qs.lane_lens, ll_mat, scounts, S, rec_starts, lengths, total,
-            _CODE_TO_BASE_FULL, blk.minq)
+            _CODE_TO_BASE_FULL, blk.minq, seq_mflag=seq_mflag)
     else:
         if hasattr(backend, "decode_stream_ll"):
             ll_mat = _lane_lengths_matrix(lengths, W)
             scounts = ll_mat.sum(axis=0)
             S = int(scounts.max()) if scounts.size else 0
+            if m_arr is not None:
+                seq_mflag = _match_mflag(m_arr, rec_starts, lengths, W,
+                                         scounts)
             seq_syms = backend.decode_stream_ll("seq", sgeom, ss.payload,
                                                 ss.lane_lens, ll_mat,
-                                                scounts, S)
+                                                scounts, S,
+                                                mflag=seq_mflag)
             qual_syms = backend.decode_stream_ll("qual", qgeom, qs.payload,
                                                  qs.lane_lens, ll_mat,
                                                  scounts, S)
         else:
             _, scounts, S, pos, reset = _seq_symbol_layout(lengths, W)
+            if m_arr is not None:
+                seq_mflag = _match_mflag(m_arr, rec_starts, lengths, W,
+                                         scounts)
             seq_syms = backend.decode_stream("seq", sgeom, ss.payload,
                                              ss.lane_lens, scounts, S,
-                                             pos=pos, reset=reset)
+                                             pos=pos, reset=reset,
+                                             mflag=seq_mflag)
             qual_syms = backend.decode_stream("qual", qgeom, qs.payload,
                                               qs.lane_lens, scounts, S,
                                               pos=pos, reset=reset)
@@ -495,26 +522,77 @@ def decode_block_device(blk: EncodedBlock, cfg: CodecConfig, backend,
                                          total, bias=blk.minq)
 
     return (n, prev_step, lengths, flags, idd_lanes, idx_lanes, sx_lanes,
-            rec_starts, seq_bytes, qual_bytes, m_lanes)
+            rec_starts, seq_bytes, qual_bytes, m_arr)
 
 
-def _match_reconstruct_letters(seq_bytes: np.ndarray, rec_starts, lengths,
-                               m_lanes, Wa: int, n: int) -> np.ndarray:
-    """Undo the v5 e-transform on the record-major LETTER buffer, in
-    record order (refs are reconstructed before their dependents)."""
-    from .models import matcher as M
+def _parse_match_lanes(m_lanes, Wa: int, n: int):
+    """Parse the decoded MATCH lane byte rows into record-sorted arrays
+    (recs, refs, orients, vs)."""
     if native.has_matcher():
-        return native.match_reconstruct(seq_bytes, rec_starts, lengths,
-                                        m_lanes, Wa, n)
-    out = np.array(seq_bytes, copy=True)
-    per_read: dict[int, tuple[int, int, int]] = {}
+        return native.match_parse(m_lanes, Wa, n)
+    from .models import matcher as M
+    per: list[tuple[int, int, int, int]] = []
     for w in range(Wa):
         for ordinal, rd, orient, v in M.parse_match_lane(
                 np.asarray(m_lanes[w]).tobytes()):
             r = w + ordinal * Wa
-            per_read[r] = (r - rd, orient, v)
-    for r in sorted(per_read):  # record order: refs reconstruct first
-        ref, orient, v = per_read[r]
+            per.append((r, r - rd, orient, v))
+    per.sort()
+    return (np.array([p[0] for p in per], dtype=np.int64),
+            np.array([p[1] for p in per], dtype=np.int64),
+            np.array([p[2] for p in per], dtype=np.uint8),
+            np.array([p[3] for p in per], dtype=np.int64))
+
+
+def _match_span_bounds(m_arr, lengths):
+    """Vectorised frozen span rule -> (los, his) in read coords."""
+    recs, refs, orients, vs = m_arr
+    L = lengths[recs]
+    Lref = lengths[refs]
+    o1 = orients.astype(bool)
+    los = np.where(o1, np.maximum(0, L + vs - Lref), np.maximum(0, -vs))
+    his = np.where(o1, np.minimum(L, L + vs), np.minimum(L, Lref - vs))
+    return los, his
+
+
+def _match_mflag(m_arr, rec_starts, lengths, W: int, scounts) -> np.ndarray:
+    """[S, W] match-span flag matrix for the SEQ decode kernel."""
+    from .models import matcher as M
+    recs = m_arr[0]
+    los, his = _match_span_bounds(m_arr, np.asarray(lengths))
+    total = int(np.asarray(lengths).sum())
+    d = np.zeros(total + 1, dtype=np.int32)
+    keep = his > los
+    starts = np.asarray(rec_starts)[recs[keep]]
+    np.add.at(d, starts + los[keep], 1)
+    np.add.at(d, starts + his[keep], -1)
+    flag_flat = (np.cumsum(d[:-1]) > 0).astype(np.uint8)
+    S = int(np.asarray(scounts).max()) if len(scounts) else 0
+    if native.available():
+        mflag, _, _, _ = native.pack_lanes(flag_flat, rec_starts, lengths,
+                                           W, S, dtype=np.uint8)
+        return mflag
+    from .pipeline import _gather_record_symbols  # noqa: F401 (fallback)
+    mfl = [flag_flat[int(rec_starts[r]): int(rec_starts[r])
+                     + int(lengths[r])].astype(np.uint32)
+           for r in range(len(lengths))]
+    from .pipeline import _scatter_record_symbols
+    return _scatter_record_symbols(mfl, W, S, np.asarray(scounts))
+
+
+def _match_reconstruct_letters(seq_bytes: np.ndarray, rec_starts, lengths,
+                               m_arr, n: int) -> np.ndarray:
+    """Undo the v5 e-transform on the record-major LETTER buffer, in
+    record order (refs are reconstructed before their dependents)."""
+    from .models import matcher as M
+    if native.has_matcher():
+        return native.match_reconstruct_arrays(seq_bytes, rec_starts,
+                                               lengths, m_arr)
+    out = np.array(seq_bytes, copy=True)
+    recs, refs, orients, vs = m_arr
+    for i in range(len(recs)):  # record order: refs reconstruct first
+        r, ref, orient, v = (int(recs[i]), int(refs[i]), int(orients[i]),
+                             int(vs[i]))
         o = int(rec_starts[r])
         L = int(lengths[r])
         c_ref = M._B2C0[out[int(rec_starts[ref]):
@@ -534,11 +612,10 @@ def decode_block_finish(inter, cfg: CodecConfig) -> memoryview | bytes:
     if inter is None:
         return b""
     (n, prev_step, lengths, flags, idd_lanes, idx_lanes, sx_lanes,
-     rec_starts, seq_bytes, qual_bytes, m_lanes) = inter
-    if m_lanes is not None:
+     rec_starts, seq_bytes, qual_bytes, m_arr) = inter
+    if m_arr is not None:
         seq_bytes = _match_reconstruct_letters(
-            np.asarray(seq_bytes), rec_starts, lengths, m_lanes,
-            cfg.aux_lanes, n)
+            np.asarray(seq_bytes), rec_starts, lengths, m_arr, n)
     ida, ioff, ilen, pla, poff, plen = native.ids_decode(
         n, cfg.aux_lanes, flags, idd_lanes, idx_lanes, prev_step)
     # SEQX exception runs are patched into the ASSEMBLED output's seq

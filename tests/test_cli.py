@@ -79,3 +79,24 @@ def test_streaming_flag(sample, tmp_path):
     assert main(["-d", str(out), "-o", str(back),
                  "--backend", "oracle"]) == 0
     assert back.read_bytes() == sample.read_bytes()
+
+
+def test_streaming_sharded_combo_cli(tmp_path):
+    """--streaming --sharded at the CLI layer, both directions, equals
+    the plain encode byte-for-byte (round-3 VERDICT weak #7: the combo
+    was covered only via the library API)."""
+    from slimfastq_tpu import native
+    if not native.available():
+        pytest.skip("sharded streaming requires the native host library")
+    src = tmp_path / "in.fastq"
+    src.write_bytes(synth_fastq(400, read_len=40, seed=4, var_len=True))
+    plain = tmp_path / "p.sfq"
+    combo = tmp_path / "c.sfq"
+    assert main([str(src), "-o", str(plain), "--block-records", "64"]) == 0
+    assert main([str(src), "-o", str(combo), "--streaming", "--sharded",
+                 "--block-records", "64"]) == 0
+    assert combo.read_bytes() == plain.read_bytes()
+    back = tmp_path / "b.fastq"
+    assert main(["-d", str(combo), "-o", str(back), "--streaming",
+                 "--sharded"]) == 0
+    assert back.read_bytes() == src.read_bytes()

@@ -123,6 +123,24 @@ def main() -> int:
     t, flats = timeit(lambda: runu(seq_syms, qual_syms, *du))
     print(f"unpack_pair: {t*1000:.2f} ms")
 
+    # ---- v5 match-context kernel variants (format v5; L4 geometry) ----
+    # The match flag adds an elementwise select to the schedule and an
+    # extra scan input + where() to the decode kernel — separate cache
+    # entries, so these timings are the compile-cliff check the
+    # KERNEL_NOTES §3 rule requires for the new shape.
+    cfg4 = config_for_level(4, lanes=1024, aux_lanes=64,
+                            block_records=reads)
+    rng = np.random.default_rng(0)
+    mflag = (rng.random((S, W)) < 0.5).astype(np.uint8)
+    mf_dev = jax.device_put(SJ._pad2(mflag, Sp, W))
+    sched_m = SJ._build_schedule_ll("seq", cfg4.seq, Sp, S, W, Rpl,
+                                    with_mflag=True)
+    t, scm = timeit(lambda: sched_m(seq_syms, dargs[2], d_counts, mf_dev))
+    print(f"seq schedule (L4 match-ctx): {t*1000:.2f} ms")
+    coder_m = SJ._build_encode("seq", cfg4.seq, Sp, W, False)
+    t, outm = timeit(lambda: coder_m(*scm))
+    print(f"seq coder (L4 geometry): {t*1000:.2f} ms")
+
     # ---- end-to-end equality (readbacks begin here) ----
     from slimfastq_tpu.ops import streams_jax, streams_np
     t0 = pc()
@@ -135,7 +153,23 @@ def main() -> int:
     print(f"full decode wall (incl. tunnel transfers): {pc()-t0:.1f} s")
     ok = out_tpu == d
     print(f"round trip on {plat}: {'PASS' if ok else 'FAIL'}")
-    return 0 if ok else 1
+
+    # ---- v5 match path end-to-end (matcher + trial + match kernels;
+    # this also times the L4 match decode variant on the real chip) ----
+    from slimfastq_tpu.utils.synth import corpus
+    d4 = corpus("novaseq", 8192, seed=0)
+    cfg4e = config_for_level(4, block_records=8192)
+    t0 = pc()
+    enc4 = api.encode_fastq(d4, cfg=cfg4e, backend=streams_jax,
+                            use_native=True)
+    print(f"L4 match encode wall: {pc()-t0:.1f} s "
+          f"(ratio {len(d4)/len(enc4):.3f})")
+    t0 = pc()
+    ok4 = api.decode_fastq(enc4, backend=streams_jax,
+                           use_native=True) == d4
+    print(f"L4 match decode wall: {pc()-t0:.1f} s; "
+          f"round trip: {'PASS' if ok4 else 'FAIL'}")
+    return 0 if (ok and ok4) else 1
 
 
 if __name__ == "__main__":
