@@ -1676,10 +1676,26 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                                 if (hi - lo < MK) continue;
                                 const uint8_t* cr =
                                     arena.data() + starts[en.ref];
+                                // early abort preserves the exact
+                                // selection: a candidate whose score
+                                // upper bound falls strictly below
+                                // max(min_score, best) can neither be
+                                // accepted nor win a tie-break
+                                int64_t floor_s = b_score > min_score
+                                    ? b_score : min_score;
                                 int64_t mm = 0;
-                                for (int64_t i = lo; i < hi; i++)
+                                int64_t span = hi - lo;
+                                bool dead = false;
+                                for (int64_t i = lo; i < hi; i++) {
                                     mm += arr[i] != cr[i + v];
-                                int64_t score = (hi - lo) - MPEN * mm;
+                                    if (span - MPEN * mm < floor_s &&
+                                        (i - lo) % 16 == 15) {
+                                        dead = true;
+                                        break;
+                                    }
+                                }
+                                if (dead) continue;
+                                int64_t score = span - MPEN * mm;
                                 if (score < min_score) continue;
                                 uint64_t zz = m_zz(v);
                                 bool better;

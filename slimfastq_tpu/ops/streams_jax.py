@@ -883,12 +883,15 @@ def encode_seq_qual_raw(seq_geom, qual_geom, data: np.ndarray,
                         lengths: np.ndarray, W: int, seq_map: np.ndarray,
                         qual_bias: int, ll_mat: np.ndarray,
                         counts: np.ndarray, padded: bool = False,
-                        seq_mflag: np.ndarray | None = None):
+                        seq_mflag: np.ndarray | None = None,
+                        only: tuple = ("SEQ", "QUAL")):
     """Encode the SEQ and QUAL streams from raw block bytes with
     on-device lane packing. Returns {"SEQ": (payload, lens), "QUAL": ...}
     byte-identical to encode_stream_ll on host-packed matrices.
     padded=True: `data` is already zero-padded to a pack_jax.pad_flat
-    boundary (so a pipelined caller pays the pad copy in its host half)."""
+    boundary (so a pipelined caller pays the pad copy in its host half).
+    only: restrict to a subset of the two streams (the v5 match trial
+    re-codes SEQ alone — QUAL bytes are independent of the e-transform)."""
     from . import pack_jax
     from ..utils.stats import trace
     counts = np.asarray(counts)
@@ -916,6 +919,8 @@ def encode_seq_qual_raw(seq_geom, qual_geom, data: np.ndarray,
     out = {}
     for name, kind, geom, syms in (("SEQ", "seq", seq_geom, seq_syms),
                                    ("QUAL", "qual", qual_geom, qual_syms)):
+        if name not in only:
+            continue
         use_mf = name == "SEQ" and seq_mflag is not None
         sched = _build_schedule_ll(kind, geom, Sp, S, W, Rpl,
                                    with_mflag=use_mf)

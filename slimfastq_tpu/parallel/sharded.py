@@ -141,7 +141,7 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
                         sgeoms[b], pres[b][0]["QUAL"][1], alt[0], alt[1],
                         alt[2], alt[3], cfg.lanes, _BASE_TO_CODE_DEV,
                         pres[b][2], pres[b][4], counts_b, padded=True,
-                        seq_mflag=mflag)
+                        seq_mflag=mflag, only=("SEQ",))
                     seq_e[b] = out_e["SEQ"]
                 else:  # rare non-raw fallback: ll path
                     seq_e[b] = streams_jax.encode_stream_ll(

@@ -359,7 +359,8 @@ def encode_prepared_block(pre, cfg: CodecConfig, backend) -> EncodedBlock:
                 out_e = backend.encode_seq_qual_raw(
                     sgeom, jobs["QUAL"][1], alt[0], alt[1], alt[2],
                     alt[3], cfg.lanes, _BASE_TO_CODE_DEV, minq, ll_mat,
-                    counts, padded=True, seq_mflag=mflag)
+                    counts, padded=True, seq_mflag=mflag,
+                    only=("SEQ",))
                 ep, el = out_e["SEQ"]
             elif ll_capable:
                 ep, el = backend.encode_stream_ll("seq", sgeom, alt,
