@@ -143,6 +143,74 @@ def test_sharded_container_equals_sequential_with_matches():
     assert decode_fastq_sharded(shd, mesh) == data
 
 
+@pytest.mark.slow
+def test_match_adversarial_reads():
+    """Adversarial reads riding a match-winning block: exact duplicates
+    and reverse complements of cross-chunk reads, N runs inside matched
+    spans, reads shorter than one k-mer, and homopolymers — all must
+    round-trip bit-exactly on both host paths with MATCH engaged."""
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 4, 100_000).astype(np.uint8)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = []
+    for r in range(2800):
+        k = r % 16
+        if r >= 1100 and k == 1:
+            s = seqs[r - 1100]                         # exact duplicate
+        elif r >= 1100 and k == 2:                     # revcomp duplicate
+            prev = np.frombuffer(seqs[r - 1100], dtype=np.uint8)
+            code = np.full(len(prev), 0, dtype=np.uint8)
+            for i, b in enumerate(b"ACGT"):
+                code[prev == b] = i
+            s = letters[(3 - code)[::-1]].tobytes()
+        elif k == 3:
+            st = int(rng.integers(0, 99_900))
+            b = letters[g[st: st + 100]].copy()
+            b[40:60] = ord("N")                        # N run inside span
+            s = b.tobytes()
+        elif k == 4:
+            s = b"ACGTACGTAC"                          # shorter than K
+        elif k == 5:
+            s = b"A" * 100                             # homopolymer
+        else:
+            st = int(rng.integers(0, 99_900))
+            s = letters[g[st: st + 100]].tobytes()     # ~2.5x coverage
+        seqs.append(s)
+    recs = []
+    for r, s in enumerate(seqs):
+        q = (rng.integers(33, 70, size=len(s))).astype(np.uint8).tobytes()
+        recs.append(b"@r%d\n%s\n+\n%s\n" % (r, s, q))
+    data = b"".join(recs)
+    cfg = dict(level=4, lanes=32, aux_lanes=8, block_records=2800)
+    enc_o = encode_fastq(data, use_native=False, **cfg)
+    assert _used_match(enc_o)
+    assert decode_fastq(enc_o, use_native=False) == data
+    if native.available():
+        enc_n = encode_fastq(data, use_native=True, **cfg)
+        assert enc_n == enc_o
+        assert decode_fastq(enc_n, use_native=True) == data
+
+
+@pytest.mark.slow
+def test_match_variable_length_long_reads():
+    """Long variable-length reads (kb-scale spans, big shift varints,
+    wide quality alphabet) through the match path: the matcher must
+    engage, win, and round-trip bit-exactly (native path; the oracle
+    matcher is impractically slow at Mb scale)."""
+    if not native.has_matcher():
+        pytest.skip("native matcher unavailable")
+    from slimfastq_tpu.utils.synth import synth_fastq
+    data = synth_fastq(1400, read_len=2000, seed=7, var_len=True,
+                       n_rate=0.001, qual_levels=90,
+                       genome_size=1400 * 1000 // 2)
+    cfg = dict(level=4, lanes=64, aux_lanes=16, block_records=1400)
+    enc = encode_fastq(data, use_native=True, **cfg)
+    assert _used_match(enc)
+    plain = encode_fastq(data, use_native=True, match=False, **cfg)
+    assert len(enc) < len(plain)
+    assert decode_fastq(enc, use_native=True) == data
+
+
 def test_v5_block_header_flags_roundtrip():
     """flags/seq_order bytes survive the container framing."""
     data = _match_data(600)  # < MATCH_CHUNK records per... one block
