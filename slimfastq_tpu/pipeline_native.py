@@ -155,7 +155,8 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         jobs["MATCH"] = ("byte", cfg.bytes_,
                          np.zeros((0, Wa), dtype=np.uint8),
                          np.zeros(Wa, dtype=np.int64), None, None)
-        if getattr(cfg, "match", False) and n > M.MATCH_CHUNK:
+        if getattr(cfg, "match", False) and sgeom.match_bits \
+                and n > M.MATCH_CHUNK:
             if native.has_matcher():
                 extra["matches"] = native.match_find(
                     data, seq_off, lengths, min(M.THRESHOLDS))

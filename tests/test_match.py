@@ -211,6 +211,22 @@ def test_match_variable_length_long_reads():
     assert decode_fastq(enc, use_native=True) == data
 
 
+def test_match_override_without_match_bits_is_ignored():
+    """match=True on a geometry without the match-context family
+    (match_bits=0, e.g. L3) must be skipped identically on both host
+    paths — the flag alone cannot change the format."""
+    data = _match_data(1200)
+    kw = dict(level=3, match=True, lanes=32, aux_lanes=8,
+              block_records=1200)
+    a = encode_fastq(data, use_native=False, **kw)
+    assert not _used_match(a)
+    assert a == encode_fastq(data, level=3, lanes=32, aux_lanes=8,
+                             block_records=1200, use_native=False)
+    if native.available():
+        assert a == encode_fastq(data, use_native=True, **kw)
+    assert decode_fastq(a) == data
+
+
 def test_v5_block_header_flags_roundtrip():
     """flags/seq_order bytes survive the container framing."""
     data = _match_data(600)  # < MATCH_CHUNK records per... one block
