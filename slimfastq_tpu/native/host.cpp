@@ -1540,19 +1540,26 @@ static void m_b2c0_init() {
 }
 static const char M_C2B[4] = {'A', 'C', 'G', 'T'};
 
-struct MEntry { int32_t ref; int32_t pos; int32_t next; };
-struct MSlot { uint64_t key; int32_t head; int32_t tail; int32_t cnt; };
+// Candidate chains are stored CONTIGUOUSLY per key (a 4-entry block
+// grown once to MMAXC on the 5th insert) instead of as a linked list:
+// a query probe walks 1-2 cache lines, not up to 16 scattered pool
+// nodes. Entry order within a key is still insertion order (part of
+// the frozen selection rule — candidates are only a SET for the
+// (score, ref, -orient, -zz) max, but the cap at MMAXC keeps the FIRST
+// 16, so order of arrival matters).
+struct MEntry { int32_t ref; int32_t pos; };
+struct MSlot { uint64_t key; int32_t blk; int32_t cnt; };
 
 struct MIndex {
     std::vector<MSlot> slots;
-    std::vector<MEntry> pool;
+    std::vector<MEntry> arena;
     uint64_t mask;
     void init(size_t expected) {
         size_t cap = 64;
         while (cap < expected * 2) cap <<= 1;
-        slots.assign(cap, MSlot{~0ULL, -1, -1, 0});
-        pool.clear();
-        pool.reserve(expected);
+        slots.assign(cap, MSlot{~0ULL, -1, 0});
+        arena.clear();
+        arena.reserve(expected + (expected >> 2) + 64);
         mask = cap - 1;
     }
     MSlot* find(uint64_t key) {
@@ -1570,18 +1577,23 @@ struct MIndex {
             MSlot& s = slots[i];
             if (s.key == key) {
                 if (s.cnt >= MMAXC) return;
-                int32_t e = (int32_t)pool.size();
-                pool.push_back(MEntry{ref, pos, -1});
-                pool[s.tail].next = e;
-                s.tail = e;
+                if (s.cnt == 4) {  // grow 4 -> MMAXC, stay contiguous
+                    int32_t nb = (int32_t)arena.size();
+                    arena.resize(arena.size() + MMAXC);
+                    for (int j = 0; j < 4; j++)
+                        arena[nb + j] = arena[s.blk + j];
+                    s.blk = nb;
+                }
+                arena[s.blk + s.cnt] = MEntry{ref, pos};
                 s.cnt++;
                 return;
             }
             if (s.key == ~0ULL) {
-                int32_t e = (int32_t)pool.size();
-                pool.push_back(MEntry{ref, pos, -1});
+                int32_t b = (int32_t)arena.size();
+                arena.resize(arena.size() + 4);
+                arena[b] = MEntry{ref, pos};
                 s.key = key;
-                s.head = s.tail = e;
+                s.blk = b;
                 s.cnt = 1;
                 return;
             }
@@ -1593,6 +1605,76 @@ struct MIndex {
 // zigzag of a 64-bit signed value (matches utils/bits.py)
 static inline uint64_t m_zz(int64_t v) {
     return ((uint64_t)v << 1) ^ (uint64_t)(v >> 63);
+}
+
+// Per-thread open-addressing candidate-dedup set with epoch tagging
+// (replaces a linear std::vector scan that went O(c^2) in the candidate
+// count — thousands per read on long reads). Membership semantics are
+// identical to the scan: first occurrence of a (ref, orient, v) key is
+// kept, duplicates skipped, so the scored candidate SET — and therefore
+// the frozen (score, ref, -orient, -zz) selection — is unchanged.
+struct MSeen {
+    std::vector<uint64_t> keys;
+    std::vector<uint32_t> epochs;
+    uint64_t mask = 0;
+    uint32_t epoch = 0;
+    void begin(size_t expected) {
+        size_t cap = 64;
+        while (cap < expected * 2) cap <<= 1;
+        if (cap > keys.size()) {
+            keys.assign(cap, 0);
+            epochs.assign(cap, 0);
+            epoch = 0;
+        }
+        mask = (uint64_t)keys.size() - 1;
+        if (++epoch == 0) {  // epoch wrap: clear tags once
+            std::fill(epochs.begin(), epochs.end(), 0);
+            epoch = 1;
+        }
+    }
+    // returns true if key was newly inserted (not seen this epoch)
+    bool add(uint64_t key) {
+        uint64_t i = mix64(key) & mask;
+        for (;;) {
+            if (epochs[i] != epoch) {
+                epochs[i] = epoch;
+                keys[i] = key;
+                return true;
+            }
+            if (keys[i] == key) return false;
+            i = (i + 1) & mask;
+        }
+    }
+};
+
+// Mismatch count over [0, len) with floor-based early abort. Returns -1
+// when the score upper bound span - MPEN*mm falls strictly below
+// floor_s at a checkpoint — such a candidate's FINAL score is also
+// below floor_s (mm only grows), so it can neither be accepted nor win
+// a tie-break; the checkpoint schedule therefore cannot change the
+// frozen selection (the scalar path checks every 16 bases, the AVX2
+// path every 32).
+static inline int64_t m_score_mm(const uint8_t* a, const uint8_t* b,
+                                 int64_t len, int64_t span,
+                                 int64_t floor_s) {
+    int64_t mm = 0, i = 0;
+#ifdef __AVX2__
+    for (; i + 32 <= len; i += 32) {
+        __m256i va = _mm256_loadu_si256((const __m256i*)(a + i));
+        __m256i vb = _mm256_loadu_si256((const __m256i*)(b + i));
+        uint32_t eq = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(va, vb));
+        mm += 32 - __builtin_popcount(eq);
+        if (span - MPEN * mm < floor_s) return -1;
+    }
+#else
+    for (; i + 16 <= len; i += 16) {
+        for (int64_t j = 0; j < 16; j++) mm += a[i + j] != b[i + j];
+        if (span - MPEN * mm < floor_s) return -1;
+    }
+#endif
+    for (; i < len; i++) mm += a[i] != b[i];
+    return mm;
 }
 
 extern "C" {
@@ -1624,13 +1706,41 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
     for (int64_t r = 0; r < n; r++) out_ref[r] = -1;
     int64_t matched = 0;
 
+    const uint64_t kmask = (1ULL << (2 * MK)) - 1;
+    // per-chunk scratch, hoisted so vector capacities persist across
+    // chunks (the per-chunk alloc churn was a measured serial cost)
+    std::vector<std::vector<std::pair<int32_t, uint64_t>>> samp(
+        (size_t)(MCHUNK < n ? MCHUNK : n));
+    struct MIns { uint64_t key; int32_t ref; int32_t pos; };
+    std::vector<MIns> ins, ins2;
     for (int64_t g_lo = 0; g_lo < n; g_lo += MCHUNK) {
         int64_t g_hi = g_lo + MCHUNK < n ? g_lo + MCHUNK : n;
+        // sampled forward kmers of this chunk, hashed ONCE in parallel
+        // and reused by both the orient-0 query walk and the serial
+        // index insert below (the serial section shrinks to pure table
+        // writes; same positions, same order)
+        for (int64_t r = g_lo; r < g_hi; r++)
+            samp[(size_t)(r - g_lo)].clear();
+#pragma omp parallel for schedule(static)
+        for (int64_t r = g_lo; r < g_hi; r++) {
+            const uint8_t* c = arena.data() + starts[r];
+            int64_t L = seq_len[r];
+            if (L < MK) continue;
+            auto& sv = samp[(size_t)(r - g_lo)];
+            uint64_t acc = 0;
+            for (int j = 0; j < MK; j++) acc = (acc << 2) | c[j];
+            for (int64_t p = 0; p <= L - MK; p++) {
+                if (p) acc = ((acc << 2) | c[p + MK - 1]) & kmask;
+                if ((mix64(acc) & MSAMPLE) == 0)
+                    sv.emplace_back((int32_t)p, acc);
+            }
+        }
         if (g_lo) {
 #pragma omp parallel
             {
                 std::vector<uint8_t> rc;
-                std::vector<uint64_t> seen;
+                std::vector<std::pair<int32_t, uint64_t>> rcs;
+                MSeen seen;
 #pragma omp for schedule(dynamic, 16)
                 for (int64_t r = g_lo; r < g_hi; r++) {
                     const uint8_t* c = arena.data() + starts[r];
@@ -1639,84 +1749,115 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                     rc.resize((size_t)L);
                     for (int64_t i = 0; i < L; i++)
                         rc[i] = (uint8_t)(3 - c[L - 1 - i]);
-                    seen.clear();
+                    // worst case: every sampled kmer probe returns a
+                    // full MMAXC chain of distinct keys
+                    seen.begin((size_t)(2 * (L / (int64_t)(MSAMPLE + 1)
+                                             + 1) * MMAXC));
                     // best = (score, ref, -orient, -zz) maximised
                     int64_t b_score = min_score - 1, b_ref = -1,
                             b_v = 0;
                     int b_orient = 0;
                     uint64_t b_zz = 0;
                     bool have = false;
-                    for (int orient = 0; orient < 2; orient++) {
-                        const uint8_t* arr = orient ? rc.data() : c;
+                    auto probe = [&](uint64_t acc, int64_t p, int orient,
+                                     const uint8_t* arr) {
+                        MSlot* slot = index.find(acc);
+                        if (!slot) return;
+                        const MEntry* blk =
+                            index.arena.data() + slot->blk;
+                        int32_t cnt = slot->cnt;
+                        // Chain refs are non-decreasing (inserted chunk
+                        // by chunk in record order), so walk BACKWARD:
+                        // once best holds the maximum possible score L,
+                        // every remaining entry with ref < b_ref can
+                        // neither beat it (score <= span <= L) nor win
+                        // the (score, ref, ...) tie-break — break out.
+                        // Same-ref entries are still evaluated (orient/
+                        // shift tie-breaks), and chain direction cannot
+                        // change the frozen selection: a candidate key
+                        // fully determines its span and score, so the
+                        // evaluated key SET and per-key scores are
+                        // direction-independent.
+                        for (int32_t j = cnt - 1; j >= 0; j--) {
+                            const MEntry en = blk[j];
+                            if (b_score == L && en.ref < b_ref) break;
+                            int64_t v = (int64_t)en.pos - p;
+                            uint64_t key = ((uint64_t)en.ref << 34) |
+                                           ((uint64_t)orient << 33) |
+                                           m_zz(v);
+                            if (!seen.add(key)) continue;
+                            int64_t lref = seq_len[en.ref];
+                            int64_t lo = v < 0 ? -v : 0;
+                            int64_t hi = L < lref - v ? L : lref - v;
+                            if (hi - lo < MK) continue;
+                            int64_t floor_s = b_score > min_score
+                                ? b_score : min_score;
+                            int64_t span = hi - lo;
+                            // span < floor: the candidate's score can
+                            // neither reach min_score nor beat OR TIE
+                            // best — skip without touching ref memory
+                            if (span < floor_s) continue;
+                            const uint8_t* cr =
+                                arena.data() + starts[en.ref];
+                            int64_t mm = m_score_mm(
+                                arr + lo, cr + lo + v, span, span,
+                                floor_s);
+                            if (mm < 0) continue;
+                            int64_t score = span - MPEN * mm;
+                            if (score < min_score) continue;
+                            uint64_t zz = m_zz(v);
+                            bool better;
+                            if (!have) better = true;
+                            else if (score != b_score)
+                                better = score > b_score;
+                            else if (en.ref != b_ref)
+                                better = en.ref > b_ref;
+                            else if (orient != b_orient)
+                                better = orient < b_orient;
+                            else better = zz < b_zz;
+                            if (better) {
+                                have = true;
+                                b_score = score;
+                                b_ref = en.ref;
+                                b_orient = orient;
+                                b_v = v;
+                                b_zz = zz;
+                            }
+                        }
+                    };
+                    // orient 0: replay the precomputed sampled list,
+                    // prefetching the next probe's slot to hide the
+                    // big-table cache miss behind the current walk
+                    const auto& sv = samp[(size_t)(r - g_lo)];
+                    for (size_t i = 0; i < sv.size(); i++) {
+                        if (i + 1 < sv.size())
+                            __builtin_prefetch(&index.slots[
+                                (mix64(sv[i + 1].second) >> 3)
+                                & index.mask]);
+                        probe(sv[i].second, (int64_t)sv[i].first, 0, c);
+                    }
+                    // orient 1: roll over the reverse complement into a
+                    // sampled list, then probe with the same lookahead
+                    rcs.clear();
+                    {
+                        const uint8_t* arr = rc.data();
                         uint64_t acc = 0;
                         for (int j = 0; j < MK; j++)
                             acc = (acc << 2) | arr[j];
-                        const uint64_t kmask = (1ULL << (2 * MK)) - 1;
                         for (int64_t p = 0; p <= L - MK; p++) {
                             if (p) acc = ((acc << 2) | arr[p + MK - 1])
                                        & kmask;
-                            if ((mix64(acc) & MSAMPLE) != 0) continue;
-                            MSlot* slot = index.find(acc);
-                            if (!slot) continue;
-                            for (int32_t e = slot->head; e >= 0;
-                                 e = index.pool[e].next) {
-                                const MEntry& en = index.pool[e];
-                                int64_t v = (int64_t)en.pos - p;
-                                uint64_t key =
-                                    ((uint64_t)en.ref << 34) |
-                                    ((uint64_t)orient << 33) | m_zz(v);
-                                bool dup = false;
-                                for (uint64_t k : seen)
-                                    if (k == key) { dup = true; break; }
-                                if (dup) continue;
-                                seen.push_back(key);
-                                int64_t lref = seq_len[en.ref];
-                                int64_t lo = v < 0 ? -v : 0;
-                                int64_t hi = L < lref - v ? L : lref - v;
-                                if (hi - lo < MK) continue;
-                                const uint8_t* cr =
-                                    arena.data() + starts[en.ref];
-                                // early abort preserves the exact
-                                // selection: a candidate whose score
-                                // upper bound falls strictly below
-                                // max(min_score, best) can neither be
-                                // accepted nor win a tie-break
-                                int64_t floor_s = b_score > min_score
-                                    ? b_score : min_score;
-                                int64_t mm = 0;
-                                int64_t span = hi - lo;
-                                bool dead = false;
-                                for (int64_t i = lo; i < hi; i++) {
-                                    mm += arr[i] != cr[i + v];
-                                    if (span - MPEN * mm < floor_s &&
-                                        (i - lo) % 16 == 15) {
-                                        dead = true;
-                                        break;
-                                    }
-                                }
-                                if (dead) continue;
-                                int64_t score = span - MPEN * mm;
-                                if (score < min_score) continue;
-                                uint64_t zz = m_zz(v);
-                                bool better;
-                                if (!have) better = true;
-                                else if (score != b_score)
-                                    better = score > b_score;
-                                else if (en.ref != b_ref)
-                                    better = en.ref > b_ref;
-                                else if (orient != b_orient)
-                                    better = orient < b_orient;
-                                else better = zz < b_zz;
-                                if (better) {
-                                    have = true;
-                                    b_score = score;
-                                    b_ref = en.ref;
-                                    b_orient = orient;
-                                    b_v = v;
-                                    b_zz = zz;
-                                }
-                            }
+                            if ((mix64(acc) & MSAMPLE) == 0)
+                                rcs.emplace_back((int32_t)p, acc);
                         }
+                    }
+                    for (size_t i = 0; i < rcs.size(); i++) {
+                        if (i + 1 < rcs.size())
+                            __builtin_prefetch(&index.slots[
+                                (mix64(rcs[i + 1].second) >> 3)
+                                & index.mask]);
+                        probe(rcs[i].second, (int64_t)rcs[i].first, 1,
+                              rc.data());
                     }
                     if (have) {
                         out_ref[r] = b_ref;
@@ -1729,20 +1870,30 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
             for (int64_t r = g_lo; r < g_hi; r++)
                 matched += out_ref[r] >= 0;
         }
-        // index this chunk's forward kmers (serial: insertion order is
-        // part of the frozen selection rule)
-        for (int64_t r = g_lo; r < g_hi; r++) {
-            const uint8_t* c = arena.data() + starts[r];
-            int64_t L = seq_len[r];
-            if (L < MK) continue;
-            uint64_t acc = 0;
-            for (int j = 0; j < MK; j++) acc = (acc << 2) | c[j];
-            const uint64_t kmask = (1ULL << (2 * MK)) - 1;
-            for (int64_t p = 0; p <= L - MK; p++) {
-                if (p) acc = ((acc << 2) | c[p + MK - 1]) & kmask;
-                if ((mix64(acc) & MSAMPLE) == 0)
-                    index.insert(acc, (int32_t)r, (int32_t)p);
-            }
+        // index this chunk's precomputed kmers (serial: insertion order
+        // is part of the frozen selection rule). Inserts of DIFFERENT
+        // keys commute, so a stable radix partition by table region
+        // (same key -> same bucket, per-key order preserved) turns the
+        // random big-table writes into 256 cache-resident passes.
+        ins.clear();
+        for (int64_t r = g_lo; r < g_hi; r++)
+            for (const auto& pk : samp[(size_t)(r - g_lo)])
+                ins.push_back(MIns{pk.second, (int32_t)r, pk.first});
+        int tbits = 0;
+        while ((index.mask >> tbits) >= 256) tbits++;
+        uint32_t bcount[257] = {0};
+        for (const MIns& e : ins)
+            bcount[(((mix64(e.key) >> 3) & index.mask) >> tbits) + 1]++;
+        for (int b = 0; b < 256; b++) bcount[b + 1] += bcount[b];
+        ins2.resize(ins.size());
+        for (const MIns& e : ins)
+            ins2[bcount[((mix64(e.key) >> 3) & index.mask) >> tbits]++]
+                = e;
+        for (size_t i = 0; i < ins2.size(); i++) {
+            if (i + 8 < ins2.size())
+                __builtin_prefetch(&index.slots[
+                    (mix64(ins2[i + 8].key) >> 3) & index.mask], 1);
+            index.insert(ins2[i].key, ins2[i].ref, ins2[i].pos);
         }
     }
     return matched;
