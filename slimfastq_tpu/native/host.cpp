@@ -509,6 +509,109 @@ static int64_t render(const uint8_t* prev_tok, int64_t prev_len,
     return len;
 }
 
+// One record of the ID+plus encode law (shared by the strided range
+// worker and the sequential v3 pass — bytes MUST be identical between
+// them; tests/test_native.py pins both against models/readid.py).
+// prev/pn/pt = the delta-baseline record and its cached tokens; ct is
+// scratch that receives cur's tokens (caller swaps it into pt).
+static inline void ids_encode_one(const uint8_t* data,
+                                  const uint8_t* cur, int64_t cn,
+                                  const uint8_t* prev, int64_t pn,
+                                  std::vector<TokV>& pt,
+                                  std::vector<TokV>& ct, int64_t dbias,
+                                  const int64_t* plus_off,
+                                  const int64_t* plus_len, int64_t r,
+                                  std::vector<uint8_t>& db,
+                                  std::vector<uint8_t>& xb,
+                                  uint8_t* fo) {
+    bool ok = false;
+    ct.clear();
+    if (prev) {
+        size_t mark = db.size();
+        // fast path: a token ending strictly inside the common byte
+        // prefix is identical in prev and cur (its boundary byte is
+        // also common), so structure/text/value carry over and a
+        // parseable digit token always passes the width check and
+        // emits the constant zigzag(-dbias); unparseable-but-equal
+        // emits zigzag(0) exactly as the general law below
+        int64_t P = common_prefix(prev, cur, pn < cn ? pn : cn);
+        size_t k = 0;
+        while (k < pt.size()
+               && (int64_t)pt[k].off + pt[k].len < P) {
+            const TokV& t = pt[k];
+            if (t.digit)
+                put_varint(db, t.vok ? zigzag(-dbias) : 0);
+            ct.push_back(t);
+            k++;
+        }
+        int64_t q = k ? (int64_t)pt[k - 1].off + pt[k - 1].len : 0;
+        tokenize_v(cur, cn, q, ct);
+        ok = pt.size() == ct.size();
+        for (size_t t = k; t < pt.size() && ok; t++) {
+            if (pt[t].digit != ct[t].digit) { ok = false; break; }
+            if (!pt[t].digit) {
+                if (pt[t].len != ct[t].len ||
+                    memcmp(prev + pt[t].off, cur + ct[t].off,
+                           ct[t].len) != 0) ok = false;
+                continue;
+            }
+            if (!pt[t].vok || !ct[t].vok) {
+                if (pt[t].len == ct[t].len &&
+                    memcmp(prev + pt[t].off, cur + ct[t].off,
+                           ct[t].len) == 0) {
+                    put_varint(db, zigzag(0));
+                    continue;
+                }
+                ok = false;
+                break;
+            }
+            // re-renderability check without materialising the
+            // render: cv >= 0 here (digit-run token), and two
+            // same-length decimal strings with equal value are
+            // identical, so rendered == ct iff the rendered
+            // width matches. Mirrors render(): zero-pad to the
+            // prev token's width when it had a leading zero.
+            int64_t cv = ct[t].val;
+            int64_t digits = 1;
+            for (int64_t v = cv; v >= 10; v /= 10) digits++;
+            bool zpad = pt[t].len > 1 && prev[pt[t].off] == '0';
+            int64_t width = (zpad && digits < pt[t].len)
+                ? pt[t].len : digits;
+            if (width != ct[t].len) {
+                ok = false;
+                break;
+            }
+            put_varint(db, zigzag(cv - pt[t].val - dbias));
+        }
+        if (!ok) db.resize(mark);  // discard partial delta emission
+    } else {
+        tokenize_v(cur, cn, 0, ct);
+    }
+    if (ok) {
+        fo[0] = 0;
+    } else {
+        fo[0] = 1;
+        put_varint(xb, (uint64_t)cn);
+        xb.insert(xb.end(), cur, cur + cn);
+    }
+    // plus line
+    const uint8_t* pl = data + plus_off[r];
+    int64_t pln = plus_len[r];
+    if (pln == 1 && pl[0] == '+') {
+        fo[1] = 1;
+        fo[2] = 0;
+    } else if (pln == cn + 1 && pl[0] == '+' &&
+               memcmp(pl + 1, cur, cn) == 0) {
+        fo[1] = 0;
+        fo[2] = 1;
+    } else {
+        fo[1] = 0;
+        fo[2] = 0;
+        put_varint(xb, (uint64_t)pln);
+        xb.insert(xb.end(), pl, pl + pln);
+    }
+}
+
 // Worker for ids_encode: process records lo, lo+stride, ... (< hi) into
 // the given per-lane buffers. The delta baseline is the raw BYTES of
 // record r-stride (tokenized on the fly at the range head, cached along
@@ -554,98 +657,62 @@ static void ids_encode_range(const uint8_t* data,
         const int64_t dbias = (stride > 1 && r >= stride) ? stride : 0;
         const uint8_t* cur = data + id_off[r];
         int64_t cn = id_len[r];
-        std::vector<uint8_t>& db = dbuf[w];
-        std::vector<uint8_t>& xb = xbuf[w];
-        bool ok = false;
-        ct.clear();
-        if (prev) {
-            size_t mark = db.size();
-            // fast path: a token ending strictly inside the common byte
-            // prefix is identical in prev and cur (its boundary byte is
-            // also common), so structure/text/value carry over and a
-            // parseable digit token always passes the width check and
-            // emits the constant zigzag(-dbias); unparseable-but-equal
-            // emits zigzag(0) exactly as the general law below
-            int64_t P = common_prefix(prev, cur, pn < cn ? pn : cn);
-            size_t k = 0;
-            while (k < pt.size()
-                   && (int64_t)pt[k].off + pt[k].len < P) {
-                const TokV& t = pt[k];
-                if (t.digit)
-                    put_varint(db, t.vok ? zigzag(-dbias) : 0);
-                ct.push_back(t);
-                k++;
-            }
-            int64_t q = k ? (int64_t)pt[k - 1].off + pt[k - 1].len : 0;
-            tokenize_v(cur, cn, q, ct);
-            ok = pt.size() == ct.size();
-            for (size_t t = k; t < pt.size() && ok; t++) {
-                if (pt[t].digit != ct[t].digit) { ok = false; break; }
-                if (!pt[t].digit) {
-                    if (pt[t].len != ct[t].len ||
-                        memcmp(prev + pt[t].off, cur + ct[t].off,
-                               ct[t].len) != 0) ok = false;
-                    continue;
-                }
-                if (!pt[t].vok || !ct[t].vok) {
-                    if (pt[t].len == ct[t].len &&
-                        memcmp(prev + pt[t].off, cur + ct[t].off,
-                               ct[t].len) == 0) {
-                        put_varint(db, zigzag(0));
-                        continue;
-                    }
-                    ok = false;
-                    break;
-                }
-                // re-renderability check without materialising the
-                // render: cv >= 0 here (digit-run token), and two
-                // same-length decimal strings with equal value are
-                // identical, so rendered == ct iff the rendered
-                // width matches. Mirrors render(): zero-pad to the
-                // prev token's width when it had a leading zero.
-                int64_t cv = ct[t].val;
-                int64_t digits = 1;
-                for (int64_t v = cv; v >= 10; v /= 10) digits++;
-                bool zpad = pt[t].len > 1 && prev[pt[t].off] == '0';
-                int64_t width = (zpad && digits < pt[t].len)
-                    ? pt[t].len : digits;
-                if (width != ct[t].len) {
-                    ok = false;
-                    break;
-                }
-                put_varint(db, zigzag(cv - pt[t].val - dbias));
-            }
-            if (!ok) db.resize(mark);  // discard partial delta emission
-        } else {
-            tokenize_v(cur, cn, 0, ct);
-        }
-        uint8_t* fo = flags_out + 3 * (r / fdiv);
-        if (ok) {
-            fo[0] = 0;
-        } else {
-            fo[0] = 1;
-            put_varint(xb, (uint64_t)cn);
-            xb.insert(xb.end(), cur, cur + cn);
-        }
-        // plus line
-        const uint8_t* pl = data + plus_off[r];
-        int64_t pln = plus_len[r];
-        if (pln == 1 && pl[0] == '+') {
-            fo[1] = 1;
-            fo[2] = 0;
-        } else if (pln == cn + 1 && pl[0] == '+' &&
-                   memcmp(pl + 1, cur, cn) == 0) {
-            fo[1] = 0;
-            fo[2] = 1;
-        } else {
-            fo[1] = 0;
-            fo[2] = 0;
-            put_varint(xb, (uint64_t)pln);
-            xb.insert(xb.end(), pl, pl + pln);
-        }
+        ids_encode_one(data, cur, cn, prev, pn, pt, ct, dbias,
+                       plus_off, plus_len, r, dbuf[w], xbuf[w],
+                       flags_out + 3 * (r / fdiv));
         pt.swap(ct);  // cur tokens become prev tokens for record r+1
         prev = cur;
         pn = cn;
+    }
+}
+
+// Sequential v3 worker (round 4): process the CONTIGUOUS record range
+// [lo, hi) in record order, carrying one delta chain per aux lane.
+// Byte-identical per lane to ids_encode_range(lane w, stride=wa) — the
+// per-record law is shared (ids_encode_one) and a lane's records are
+// visited in the same relative order — but the ID region is walked
+// sequentially: the strided per-lane walk touched one ~11 KB-distant
+// record per step and was cache-miss-bound. At a range head the lane's
+// baseline record is tokenized fresh; fresh tokenization equals the
+// carried tokens (token boundaries inside the common region are
+// class-transition-determined), which the carry fast path already
+// relies on. Per-record baseline (frozen v3 rule): prev = r - wa for
+// r >= wa (dbias wa), else the global r - 1 (dbias 0). Flags are
+// written straight to flags_out + 3r — sequential per thread, so the
+// false-sharing that motivated the old lane-local flag merge is gone.
+static void ids_encode_v3_seq(const uint8_t* data,
+                              const int64_t* id_off,
+                              const int64_t* id_len,
+                              const int64_t* plus_off,
+                              const int64_t* plus_len,
+                              int64_t lo, int64_t hi, int64_t wa,
+                              uint8_t* flags_out,
+                              std::vector<std::vector<uint8_t>>& dbuf,
+                              std::vector<std::vector<uint8_t>>& xbuf) {
+    std::vector<const uint8_t*> prevs((size_t)wa, nullptr);
+    std::vector<int64_t> pns((size_t)wa, 0);
+    std::vector<std::vector<TokV>> pts((size_t)wa);
+    std::vector<TokV> ct;
+    for (int64_t r = lo; r < hi; r++) {
+        int64_t w = r % wa;
+        if (prevs[w] == nullptr) {
+            int64_t p0 = (r >= wa) ? r - wa : r - 1;
+            if (p0 >= 0) {
+                prevs[w] = data + id_off[p0];
+                pns[w] = id_len[p0];
+                pts[w].clear();
+                tokenize_v(prevs[w], pns[w], 0, pts[w]);
+            }
+        }
+        const int64_t dbias = (r >= wa) ? wa : 0;
+        const uint8_t* cur = data + id_off[r];
+        int64_t cn = id_len[r];
+        ids_encode_one(data, cur, cn, prevs[w], pns[w], pts[w], ct,
+                       dbias, plus_off, plus_len, r, dbuf[w], xbuf[w],
+                       flags_out + 3 * r);
+        pts[w].swap(ct);
+        prevs[w] = cur;
+        pns[w] = cn;
     }
 }
 
@@ -656,10 +723,10 @@ static void ids_encode_range(const uint8_t* data,
 // lane-stream order [id_exc, plus_plain, plus_idcopy] — identical to
 // pipeline.py. Plus-line exceptions interleave with ID exceptions per
 // record in the per-lane exception stream, exactly as the Python path
-// writes them. OpenMP: v1/v2 split into contiguous record ranges (the
-// range worker is stateless across its head boundary); v3 runs one task
-// per lane. Either way the per-lane streams are byte-identical to a
-// serial pass.
+// writes them. OpenMP: both baselines split into contiguous record
+// ranges (v1/v2: the stateless strided worker; v3: the sequential
+// per-lane-carry worker above). Either way the per-lane streams are
+// byte-identical to a serial pass.
 int64_t ids_encode(const uint8_t* data,
                    const int64_t* id_off, const int64_t* id_len,
                    const int64_t* plus_off, const int64_t* plus_len,
@@ -669,41 +736,6 @@ int64_t ids_encode(const uint8_t* data,
                    int64_t* delta_sizes,
                    uint8_t* exc_arena, int64_t exc_stride,
                    int64_t* exc_sizes) {
-    if (prev_step > 1) {
-        // format v3: one independent chain (and one task) per lane.
-        // Flags go to lane-LOCAL buffers (fdiv=wa) and merge in a
-        // contiguous pass afterwards — adjacent records belong to
-        // different lanes, so direct writes false-shared every flag
-        // cache line across all cores (measured: 4-thread encode SLOWER
-        // than 2-thread before this).
-        int64_t rpl = (n + wa - 1) / wa;
-        std::vector<uint8_t> fl(3 * wa * rpl);
-        int64_t overflow = 0;
-#pragma omp parallel for schedule(dynamic, 1) reduction(|:overflow)
-        for (int64_t w = 0; w < wa; w++) {
-            std::vector<std::vector<uint8_t>> db(wa), xb(wa);
-            ids_encode_range(data, id_off, id_len, plus_off, plus_len,
-                             w, n, wa, wa, wa,
-                             fl.data() + w * 3 * rpl, db, xb);
-            int64_t ds = (int64_t)db[w].size();
-            int64_t xs = (int64_t)xb[w].size();
-            if (ds > delta_stride || xs > exc_stride) {
-                overflow = 1;
-                continue;
-            }
-            memcpy(delta_arena + w * delta_stride, db[w].data(),
-                   (size_t)ds);
-            memcpy(exc_arena + w * exc_stride, xb[w].data(), (size_t)xs);
-            delta_sizes[w] = ds;
-            exc_sizes[w] = xs;
-        }
-        if (overflow) return -1;
-#pragma omp parallel for schedule(static)
-        for (int64_t r = 0; r < n; r++)
-            memcpy(flags_out + 3 * r,
-                   fl.data() + ((r % wa) * rpl + r / wa) * 3, 3);
-        return 0;
-    }
     int nt = 1;
 #ifdef _OPENMP
     nt = omp_get_max_threads();
@@ -716,10 +748,16 @@ int64_t ids_encode(const uint8_t* data,
         dbufs[t].resize(wa);
         xbufs[t].resize(wa);
         int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
-        if (lo < hi)
-            ids_encode_range(data, id_off, id_len, plus_off, plus_len,
-                             lo, hi, 1, wa, 1, flags_out, dbufs[t],
-                             xbufs[t]);
+        if (lo < hi) {
+            if (prev_step > 1)
+                ids_encode_v3_seq(data, id_off, id_len, plus_off,
+                                  plus_len, lo, hi, wa, flags_out,
+                                  dbufs[t], xbufs[t]);
+            else
+                ids_encode_range(data, id_off, id_len, plus_off,
+                                 plus_len, lo, hi, 1, wa, 1, flags_out,
+                                 dbufs[t], xbufs[t]);
+        }
     }
     for (int64_t w = 0; w < wa; w++) {
         int64_t doff = 0, xoff = 0;
