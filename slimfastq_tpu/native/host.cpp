@@ -1787,10 +1787,31 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                     rc.resize((size_t)L);
                     for (int64_t i = 0; i < L; i++)
                         rc[i] = (uint8_t)(3 - c[L - 1 - i]);
-                    // worst case: every sampled kmer probe returns a
-                    // full MMAXC chain of distinct keys
-                    seen.begin((size_t)(2 * (L / (int64_t)(MSAMPLE + 1)
-                                             + 1) * MMAXC));
+                    const auto& sv = samp[(size_t)(r - g_lo)];
+                    // orient-1 sampled list, computed up front so the
+                    // dedup set can be sized by the ACTUAL probe count
+                    // (content-keyed sampling means low-complexity reads
+                    // — e.g. poly-A, whose kmer 0 is always sampled —
+                    // can sample every position, far above the 1/8
+                    // expectation; an undersized open-addressing table
+                    // has no fullness check and would spin forever)
+                    rcs.clear();
+                    {
+                        const uint8_t* arr = rc.data();
+                        uint64_t acc = 0;
+                        for (int j = 0; j < MK; j++)
+                            acc = (acc << 2) | arr[j];
+                        for (int64_t p = 0; p <= L - MK; p++) {
+                            if (p) acc = ((acc << 2) | arr[p + MK - 1])
+                                       & kmask;
+                            if ((mix64(acc) & MSAMPLE) == 0)
+                                rcs.emplace_back((int32_t)p, acc);
+                        }
+                    }
+                    // exact worst case: every probe walks a full MMAXC
+                    // chain of distinct keys; begin() doubles this, so
+                    // load factor stays <= 0.5 and add() cannot spin
+                    seen.begin((sv.size() + rcs.size()) * MMAXC + 1);
                     // best = (score, ref, -orient, -zz) maximised
                     int64_t b_score = min_score - 1, b_ref = -1,
                             b_v = 0;
@@ -1866,7 +1887,6 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                     // orient 0: replay the precomputed sampled list,
                     // prefetching the next probe's slot to hide the
                     // big-table cache miss behind the current walk
-                    const auto& sv = samp[(size_t)(r - g_lo)];
                     for (size_t i = 0; i < sv.size(); i++) {
                         if (i + 1 < sv.size())
                             __builtin_prefetch(&index.slots[
@@ -1874,21 +1894,8 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                                 & index.mask]);
                         probe(sv[i].second, (int64_t)sv[i].first, 0, c);
                     }
-                    // orient 1: roll over the reverse complement into a
-                    // sampled list, then probe with the same lookahead
-                    rcs.clear();
-                    {
-                        const uint8_t* arr = rc.data();
-                        uint64_t acc = 0;
-                        for (int j = 0; j < MK; j++)
-                            acc = (acc << 2) | arr[j];
-                        for (int64_t p = 0; p <= L - MK; p++) {
-                            if (p) acc = ((acc << 2) | arr[p + MK - 1])
-                                       & kmask;
-                            if ((mix64(acc) & MSAMPLE) == 0)
-                                rcs.emplace_back((int32_t)p, acc);
-                        }
-                    }
+                    // orient 1: probe the precomputed reverse-complement
+                    // sampled list with the same lookahead
                     for (size_t i = 0; i < rcs.size(); i++) {
                         if (i + 1 < rcs.size())
                             __builtin_prefetch(&index.slots[

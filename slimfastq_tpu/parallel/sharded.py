@@ -371,13 +371,34 @@ def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
                       delta_bits=0 if (blk.flags & _QND)
                       else cfg.qual.delta_bits)
             from ..pipeline_native import _CODE_TO_BASE_FULL as _C2BF
-            match_sq[b] = streams_jax.decode_seq_qual_raw(
-                sg, qg, blk.streams["SEQ"].payload,
-                blk.streams["SEQ"].lane_lens,
-                blk.streams["QUAL"].payload,
-                blk.streams["QUAL"].lane_lens, ll, scounts, S, it[7],
-                lengths, int(lengths.sum()), _C2BF, blk.minq,
-                seq_mflag=mflag)
+            total = int(lengths.sum())
+            if total < (1 << 31):
+                match_sq[b] = streams_jax.decode_seq_qual_raw(
+                    sg, qg, blk.streams["SEQ"].payload,
+                    blk.streams["SEQ"].lane_lens,
+                    blk.streams["QUAL"].payload,
+                    blk.streams["QUAL"].lane_lens, ll, scounts, S, it[7],
+                    lengths, total, _C2BF, blk.minq,
+                    seq_mflag=mflag)
+            else:
+                # int32 device offsets can't address >=2 GiB of bases:
+                # same guard + fallback as the sequential twin
+                # (pipeline_native.decode_block_device)
+                from ..pipeline import _CODE_TO_BASE as _C2B
+                seq_syms = streams_jax.decode_stream_ll(
+                    "seq", sg, blk.streams["SEQ"].payload,
+                    blk.streams["SEQ"].lane_lens, ll, scounts, S,
+                    mflag=mflag)
+                qual_syms = streams_jax.decode_stream_ll(
+                    "qual", qg, blk.streams["QUAL"].payload,
+                    blk.streams["QUAL"].lane_lens, ll, scounts, S)
+                base_map = np.zeros(256, dtype=np.uint8)
+                base_map[:4] = _C2B
+                match_sq[b] = (
+                    native.unpack_lanes(seq_syms & 3, lengths, W, it[7],
+                                        total, map256=base_map),
+                    native.unpack_lanes(qual_syms, lengths, W, it[7],
+                                        total, bias=blk.minq))
 
     # 2. SEQ+QUAL: batched device decode + unpack
     live = [b for b, it in enumerate(inters)

@@ -536,6 +536,10 @@ def decode_block(blk: EncodedBlock, cfg: CodecConfig,
         for w in range(Wa):
             for ordinal, rd, orient, v in M.parse_match_lane(m_lanes[w]):
                 r = w + ordinal * Wa
+                # mirror native match_parse's bounds checks so both host
+                # paths reject crafted/corrupt descriptors identically
+                if r < 0 or r >= n or rd <= 0 or rd > r:
+                    raise ValueError("corrupt MATCH descriptor")
                 per_read[r] = (r - rd, orient, v)
         mfl = [np.zeros(int(L), dtype=np.uint8) for L in lengths]
         for (r, lo_, hi_) in M.spans(per_read, lengths):

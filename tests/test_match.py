@@ -211,6 +211,55 @@ def test_match_variable_length_long_reads():
     assert decode_fastq(enc, use_native=True) == data
 
 
+def _polya_poc_check():
+    """Poly-A candidate-flood PoC (round-4 advisor finding): 32 reads
+    carry an ISOLATED 16-A run (low scores, so the backward chain walk
+    never hits its early break) and a 100bp poly-A read in chunk 2 then
+    samples EVERY position (the all-A k-mer is always content-sampled),
+    probing 85 positions x 16 chain entries of distinct (ref, v) keys —
+    far above the ~L/8 sampling expectation the dedup table used to be
+    sized by. Pre-fix, native match_find spun forever in MSeen::add."""
+    rng = np.random.default_rng(11)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = []
+    for r in range(1024):
+        c = rng.integers(0, 4, 100).astype(np.uint8)
+        if r % 32 == 0:
+            p = int(rng.integers(0, 100 - 16))
+            c[p: p + 16] = 0
+        seqs.append(letters[c].tobytes())
+    seqs.append(b"A" * 100)  # the probing poly-A read (second chunk)
+    data = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    seq_len = np.array([len(s) for s in seqs], dtype=np.int64)
+    seq_off = np.zeros(len(seqs), dtype=np.int64)
+    seq_off[1:] = np.cumsum(seq_len[:-1])
+    got = native.match_find(data, seq_off, seq_len, min(M.THRESHOLDS))
+    codes = [M._B2C0[np.frombuffer(s, dtype=np.uint8)] for s in seqs]
+    want = M.find_matches(codes)
+    assert got == want, "native selection diverged from the oracle"
+
+
+def test_match_find_polya_terminates():
+    """Regression (round-4 ADVICE high severity): the candidate-dedup set
+    is now sized by the ACTUAL sampled-k-mer counts, so low-complexity
+    reads cannot overflow it. Runs the PoC in a subprocess so a
+    regression fails the test instead of hanging the suite."""
+    if not native.has_matcher():
+        pytest.skip("native matcher unavailable")
+    import os
+    import subprocess
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "import test_match; test_match._polya_poc_check(); print('OK')"
+         % here],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(here))
+    assert r.returncode == 0 and "OK" in r.stdout, r.stdout + r.stderr
+
+
 def test_match_override_without_match_bits_is_ignored():
     """match=True on a geometry without the match-context family
     (match_bits=0, e.g. L3) must be skipped identically on both host
