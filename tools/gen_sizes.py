@@ -23,7 +23,7 @@ from slimfastq_tpu.utils.synth import corpus                 # noqa: E402
 # per-stream regressions on different data shapes
 SPECS = [("illumina", 500), ("novaseq", 500), ("longread", 12),
          ("nheavy", 500), ("sra", 500)]
-LEVELS = (1, 3, 4)
+LEVELS = (1, 2, 3, 4)
 CFG = dict(lanes=32, aux_lanes=8, block_records=256)
 
 
