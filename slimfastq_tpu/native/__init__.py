@@ -125,6 +125,9 @@ def _load():
         lib.match_reconstruct_arrays.restype = None
         lib.match_reconstruct_arrays.argtypes = [p8, pi64, pi64, pi64,
                                                  pi64, p8, pi64, i64]
+        lib.match_encode_lanes.restype = i64
+        lib.match_encode_lanes.argtypes = [pi64, p8, pi64, pi64, i64,
+                                           i64, i64, p8, i64, pi64]
     except AttributeError:
         pass
 
@@ -541,11 +544,14 @@ def flags_reorder(grouped: np.ndarray, n: int, wa: int) -> np.ndarray:
     return out[: 3 * n]
 
 
-def match_find(data: np.ndarray, seq_off: np.ndarray, seq_len: np.ndarray,
-               min_score: int) -> list:
+def match_find_arrays(data: np.ndarray, seq_off: np.ndarray,
+                      seq_len: np.ndarray, min_score: int):
     """Format v5 long-range matcher (C++ twin of models/matcher.py
-    find_matches; equality pinned by tests/test_match.py). Returns per
-    read None or (ref, orient, v, score)."""
+    find_matches; equality pinned by tests/test_match.py). Returns
+    (ref, orient, v, score) int64/uint8 arrays with ref < 0 for
+    unmatched reads — the production-path representation (the per-read
+    tuple list of match_find cost ~50 ms/64k block in Python object
+    churn; measured round 5)."""
     n = len(seq_off)
     ref = np.empty(n, dtype=np.int64)
     orient = np.empty(n, dtype=np.uint8)
@@ -554,15 +560,59 @@ def match_find(data: np.ndarray, seq_off: np.ndarray, seq_len: np.ndarray,
     lib.match_find(_p8(data), _pi64(np.ascontiguousarray(seq_off)),
                    _pi64(np.ascontiguousarray(seq_len)), n, min_score,
                    _pi64(ref), _p8(orient), _pi64(v), _pi64(score))
+    return ref, orient, v, score
+
+
+def match_find(data: np.ndarray, seq_off: np.ndarray, seq_len: np.ndarray,
+               min_score: int) -> list:
+    """List-of-tuples view of match_find_arrays (oracle-comparison
+    surface for tests/tools). Returns per read None or
+    (ref, orient, v, score)."""
+    ref, orient, v, score = match_find_arrays(data, seq_off, seq_len,
+                                              min_score)
+    n = len(ref)
     return [None if ref[r] < 0
             else (int(ref[r]), int(orient[r]), int(v[r]), int(score[r]))
             for r in range(n)]
 
 
+def match_encode_lanes(m_arrs, min_score: int, n: int, wa: int) -> list:
+    """Per-aux-lane MATCH descriptor streams from match arrays —
+    byte-identical to models/matcher.py encode_match_lanes (pinned by
+    tests/test_match.py)."""
+    refs, orients, vs, scores = m_arrs
+    per_lane = (n + wa - 1) // wa if n else 0
+    stride = 30 * max(per_lane, 1)
+    arena = np.empty(wa * stride, dtype=np.uint8)
+    sizes = np.empty(wa, dtype=np.int64)
+    r = lib.match_encode_lanes(
+        _pi64(np.ascontiguousarray(refs)),
+        _p8(np.ascontiguousarray(orients)),
+        _pi64(np.ascontiguousarray(vs)),
+        _pi64(np.ascontiguousarray(scores)), n, min_score, wa,
+        _p8(arena), stride, _pi64(sizes))
+    assert r == 0, "match lane stride overflow (cannot happen: 30 B cap)"
+    return [arena[w * stride: w * stride + sizes[w]] for w in range(wa)]
+
+
+def match_apply_arrays(dst: np.ndarray, src: np.ndarray,
+                       seq_off: np.ndarray, seq_len: np.ndarray,
+                       m_arrs, min_score: int) -> None:
+    """Rewrite matched spans of dst with e-transform letters (encode
+    side; refs read from the unmodified src buffer)."""
+    refs, orients, vs, scores = m_arrs
+    lib.match_apply(_p8(dst), _p8(src),
+                    _pi64(np.ascontiguousarray(seq_off)),
+                    _pi64(np.ascontiguousarray(seq_len)), len(seq_off),
+                    _pi64(np.ascontiguousarray(refs)),
+                    _p8(np.ascontiguousarray(orients)),
+                    _pi64(np.ascontiguousarray(vs)),
+                    _pi64(np.ascontiguousarray(scores)), min_score)
+
+
 def match_apply(dst: np.ndarray, src: np.ndarray, seq_off: np.ndarray,
                 seq_len: np.ndarray, matches: list, min_score: int) -> None:
-    """Rewrite matched spans of dst with e-transform letters (encode side;
-    refs read from the unmodified src buffer)."""
+    """List-of-tuples front end of match_apply_arrays."""
     n = len(seq_off)
     ref = np.full(n, -1, dtype=np.int64)
     orient = np.zeros(n, dtype=np.uint8)
@@ -571,11 +621,8 @@ def match_apply(dst: np.ndarray, src: np.ndarray, seq_off: np.ndarray,
     for r, m in enumerate(matches):
         if m is not None:
             ref[r], orient[r], v[r], score[r] = m
-    lib.match_apply(_p8(dst), _p8(src),
-                    _pi64(np.ascontiguousarray(seq_off)),
-                    _pi64(np.ascontiguousarray(seq_len)), n,
-                    _pi64(ref), _p8(orient), _pi64(v), _pi64(score),
-                    min_score)
+    match_apply_arrays(dst, src, seq_off, seq_len,
+                       (ref, orient, v, score), min_score)
 
 
 def match_parse(m_lanes: list, wa: int, n: int):

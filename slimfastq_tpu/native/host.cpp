@@ -12,7 +12,10 @@
 // Exposed with a plain C ABI for ctypes.
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cstdio>
 #include <vector>
@@ -1586,53 +1589,84 @@ static const char M_C2B[4] = {'A', 'C', 'G', 'T'};
 // (score, ref, -orient, -zz) max, but the cap at MMAXC keeps the FIRST
 // 16, so order of arrival matters).
 struct MEntry { int32_t ref; int32_t pos; };
-struct MSlot { uint64_t key; int32_t blk; int32_t cnt; };
+// 8-byte slot (round 5): a K=16 kmer is exactly 2K=32 bits, so the key
+// needs no u64; blk/cnt pack into the second word (bc = blk << 5 | cnt,
+// bc == 0 <=> empty since occupied slots have cnt >= 1). Halving the
+// slot size halves the probe-phase cache footprint of the ~16-32 MB
+// table — the query walk is miss-bound, not compute-bound (measured:
+// SFQ_MATCH_STATS). Hash sequence (mix64(key) >> 3) & mask and probe
+// order are unchanged, so the candidate sets — and the frozen
+// selection — are bit-identical.
+struct MSlot { uint32_t key; uint32_t bc; };
 
 struct MIndex {
     std::vector<MSlot> slots;
-    std::vector<MEntry> arena;
+    // Candidate arena: raw realloc'd buffer, NOT a std::vector — the
+    // per-chunk worst-case slack (16 entries per pending insert) must
+    // not be value-initialised on every grow (the vector memset +
+    // geometric copy was a measured serial cost of the insert phase).
+    MEntry* arena = nullptr;
+    int64_t acap = 0, asize = 0;
     uint64_t mask;
+    ~MIndex() { free(arena); }
     void init(size_t expected) {
         size_t cap = 64;
         while (cap < expected * 2) cap <<= 1;
-        slots.assign(cap, MSlot{~0ULL, -1, 0});
-        arena.clear();
-        arena.reserve(expected + (expected >> 2) + 64);
+        slots.assign(cap, MSlot{0, 0});
+        grow((int64_t)(expected * 5 + 64));
         mask = cap - 1;
     }
-    MSlot* find(uint64_t key) {
-        uint64_t i = (mix64(key) >> 3) & mask;
+    void grow(int64_t need) {
+        if (need <= acap) return;
+        int64_t nc = acap * 2 > need ? acap * 2 : need;
+        arena = (MEntry*)realloc(arena, (size_t)nc * sizeof(MEntry));
+        acap = nc;
+    }
+    static inline uint64_t home(uint32_t key, uint64_t mask_) {
+        return (mix64(key) >> 3) & mask_;
+    }
+    // find starting from the precomputed home slot (callers prefetch it)
+    const MSlot* find_from(uint64_t i, uint32_t key) const {
         for (;;) {
-            MSlot& s = slots[i];
+            const MSlot& s = slots[i];
+            if (s.bc == 0) return nullptr;
             if (s.key == key) return &s;
-            if (s.key == ~0ULL) return nullptr;
             i = (i + 1) & mask;
         }
     }
-    void insert(uint64_t key, int32_t ref, int32_t pos) {
-        uint64_t i = (mix64(key) >> 3) & mask;
+    // Insert with caller-managed arena allocation: `cur` is a cursor
+    // into arena (pre-sized with enough slack for the batch), bumped
+    // lock-free so disjoint table regions can insert in parallel. The
+    // arena LAYOUT then depends on thread interleaving, but nothing
+    // observable does: per-key entry order (the frozen part) is fixed
+    // by who inserts the key's entries — one thread per region — and
+    // candidate blocks stay contiguous per key.
+    void insert(uint32_t key, int32_t ref, int32_t pos,
+                std::atomic<int64_t>& cur) {
+        uint64_t i = home(key, mask);
         for (;;) {
             MSlot& s = slots[i];
-            if (s.key == key) {
-                if (s.cnt >= MMAXC) return;
-                if (s.cnt == 4) {  // grow 4 -> MMAXC, stay contiguous
-                    int32_t nb = (int32_t)arena.size();
-                    arena.resize(arena.size() + MMAXC);
+            if (s.bc != 0 && s.key == key) {
+                int32_t cnt = (int32_t)(s.bc & 31);
+                int32_t blk = (int32_t)(s.bc >> 5);
+                if (cnt >= MMAXC) return;
+                if (cnt == 4) {  // grow 4 -> MMAXC, stay contiguous
+                    int32_t nb = (int32_t)cur.fetch_add(
+                        MMAXC, std::memory_order_relaxed);
                     for (int j = 0; j < 4; j++)
-                        arena[nb + j] = arena[s.blk + j];
-                    s.blk = nb;
+                        arena[nb + j] = arena[blk + j];
+                    blk = nb;
                 }
-                arena[s.blk + s.cnt] = MEntry{ref, pos};
-                s.cnt++;
+                arena[blk + cnt] = MEntry{ref, pos};
+                s.bc = ((uint32_t)blk << 5) | (uint32_t)(cnt + 1);
                 return;
             }
-            if (s.key == ~0ULL) {
-                int32_t b = (int32_t)arena.size();
-                arena.resize(arena.size() + 4);
+            if (s.bc == 0) {
+                int32_t b = (int32_t)cur.fetch_add(
+                    4, std::memory_order_relaxed);
                 arena[b] = MEntry{ref, pos};
                 s.key = key;
-                s.blk = b;
-                s.cnt = 1;
+                s.bc = ((uint32_t)b << 5) | 1u;
                 return;
             }
             i = (i + 1) & mask;
@@ -1725,6 +1759,14 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                    int64_t* out_ref, uint8_t* out_orient, int64_t* out_v,
                    int64_t* out_score) {
     m_b2c0_init();
+    // SFQ_MATCH_STATS=1: phase wall-time breakdown to stderr (probe tool
+    // for the round-5 "put the matcher on the TPU or make it cheap" work)
+    const bool mstats = std::getenv("SFQ_MATCH_STATS") != nullptr;
+    double t_arena = 0, t_sample = 0, t_query = 0, t_insert = 0;
+    int64_t n_probe = 0, n_cand = 0, n_scored = 0;
+    auto now = [] { return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count(); };
+    double t0 = now();
     // codes arena (B2C0-mapped bases, record-major)
     std::vector<int64_t> starts(n + 1, 0);
     for (int64_t r = 0; r < n; r++) starts[r + 1] = starts[r] + seq_len[r];
@@ -1740,16 +1782,18 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
         if (seq_len[r] >= MK) total_kmers += seq_len[r] - MK + 1;
     MIndex index;
     index.init((size_t)(total_kmers / (MSAMPLE + 1) + 64));
+    t_arena = now() - t0;
 
     for (int64_t r = 0; r < n; r++) out_ref[r] = -1;
     int64_t matched = 0;
 
     const uint64_t kmask = (1ULL << (2 * MK)) - 1;
     // per-chunk scratch, hoisted so vector capacities persist across
-    // chunks (the per-chunk alloc churn was a measured serial cost)
-    std::vector<std::vector<std::pair<int32_t, uint64_t>>> samp(
+    // chunks (the per-chunk alloc churn was a measured serial cost).
+    // kmers are 2*MK = 32 bits, stored as u32 (see MSlot).
+    std::vector<std::vector<std::pair<int32_t, uint32_t>>> samp(
         (size_t)(MCHUNK < n ? MCHUNK : n));
-    struct MIns { uint64_t key; int32_t ref; int32_t pos; };
+    struct MIns { uint32_t key; int32_t ref; int32_t pos; };
     std::vector<MIns> ins, ins2;
     for (int64_t g_lo = 0; g_lo < n; g_lo += MCHUNK) {
         int64_t g_hi = g_lo + MCHUNK < n ? g_lo + MCHUNK : n;
@@ -1757,6 +1801,7 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
         // and reused by both the orient-0 query walk and the serial
         // index insert below (the serial section shrinks to pure table
         // writes; same positions, same order)
+        t0 = now();
         for (int64_t r = g_lo; r < g_hi; r++)
             samp[(size_t)(r - g_lo)].clear();
 #pragma omp parallel for schedule(static)
@@ -1770,15 +1815,20 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
             for (int64_t p = 0; p <= L - MK; p++) {
                 if (p) acc = ((acc << 2) | c[p + MK - 1]) & kmask;
                 if ((mix64(acc) & MSAMPLE) == 0)
-                    sv.emplace_back((int32_t)p, acc);
+                    sv.emplace_back((int32_t)p, (uint32_t)acc);
             }
         }
+        t_sample += now() - t0;
+        t0 = now();
         if (g_lo) {
 #pragma omp parallel
             {
                 std::vector<uint8_t> rc;
-                std::vector<std::pair<int32_t, uint64_t>> rcs;
+                std::vector<std::pair<int32_t, uint32_t>> rcs;
+                std::vector<uint64_t> homes;
+                std::vector<const MSlot*> slotp;
                 MSeen seen;
+                int64_t l_probe = 0, l_cand = 0, l_scored = 0;
 #pragma omp for schedule(dynamic, 16)
                 for (int64_t r = g_lo; r < g_hi; r++) {
                     const uint8_t* c = arena.data() + starts[r];
@@ -1805,7 +1855,8 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                             if (p) acc = ((acc << 2) | arr[p + MK - 1])
                                        & kmask;
                             if ((mix64(acc) & MSAMPLE) == 0)
-                                rcs.emplace_back((int32_t)p, acc);
+                                rcs.emplace_back((int32_t)p,
+                                                 (uint32_t)acc);
                         }
                     }
                     // exact worst case: every probe walks a full MMAXC
@@ -1818,13 +1869,11 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                     int b_orient = 0;
                     uint64_t b_zz = 0;
                     bool have = false;
-                    auto probe = [&](uint64_t acc, int64_t p, int orient,
-                                     const uint8_t* arr) {
-                        MSlot* slot = index.find(acc);
-                        if (!slot) return;
+                    auto probe = [&](const MSlot* slot, int64_t p,
+                                     int orient, const uint8_t* arr) {
                         const MEntry* blk =
-                            index.arena.data() + slot->blk;
-                        int32_t cnt = slot->cnt;
+                            index.arena + (slot->bc >> 5);
+                        int32_t cnt = (int32_t)(slot->bc & 31);
                         // Chain refs are non-decreasing (inserted chunk
                         // by chunk in record order), so walk BACKWARD:
                         // once best holds the maximum possible score L,
@@ -1839,6 +1888,7 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                         // direction-independent.
                         for (int32_t j = cnt - 1; j >= 0; j--) {
                             const MEntry en = blk[j];
+                            l_cand++;
                             if (b_score == L && en.ref < b_ref) break;
                             int64_t v = (int64_t)en.pos - p;
                             uint64_t key = ((uint64_t)en.ref << 34) |
@@ -1858,6 +1908,7 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                             if (span < floor_s) continue;
                             const uint8_t* cr =
                                 arena.data() + starts[en.ref];
+                            l_scored++;
                             int64_t mm = m_score_mm(
                                 arr + lo, cr + lo + v, span, span,
                                 floor_s);
@@ -1884,25 +1935,47 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                             }
                         }
                     };
-                    // orient 0: replay the precomputed sampled list,
-                    // prefetching the next probe's slot to hide the
-                    // big-table cache miss behind the current walk
-                    for (size_t i = 0; i < sv.size(); i++) {
-                        if (i + 1 < sv.size())
-                            __builtin_prefetch(&index.slots[
-                                (mix64(sv[i + 1].second) >> 3)
-                                & index.mask]);
-                        probe(sv[i].second, (int64_t)sv[i].first, 0, c);
+                    // Two-sweep probe (round 5): sweep A computes every
+                    // probe's home slot up front (prefetching the slot
+                    // lines), resolves the slots, and prefetches each
+                    // found slot's contiguous chain block; sweep B then
+                    // walks chains over warm lines. Probe order (fwd
+                    // samples then rc samples) and the early-break
+                    // semantics are unchanged, so the candidate sets
+                    // and the frozen selection are bit-identical — this
+                    // only re-schedules the cache misses the old
+                    // 1-ahead prefetch could not hide.
+                    size_t npr = sv.size() + rcs.size();
+                    homes.resize(npr);
+                    slotp.resize(npr);
+                    for (size_t i = 0; i < npr; i++) {
+                        uint32_t key = i < sv.size()
+                            ? sv[i].second : rcs[i - sv.size()].second;
+                        homes[i] = MIndex::home(key, index.mask);
+                        __builtin_prefetch(&index.slots[homes[i]]);
                     }
-                    // orient 1: probe the precomputed reverse-complement
-                    // sampled list with the same lookahead
-                    for (size_t i = 0; i < rcs.size(); i++) {
-                        if (i + 1 < rcs.size())
-                            __builtin_prefetch(&index.slots[
-                                (mix64(rcs[i + 1].second) >> 3)
-                                & index.mask]);
-                        probe(rcs[i].second, (int64_t)rcs[i].first, 1,
-                              rc.data());
+                    for (size_t i = 0; i < npr; i++) {
+                        uint32_t key = i < sv.size()
+                            ? sv[i].second : rcs[i - sv.size()].second;
+                        const MSlot* s = index.find_from(homes[i], key);
+                        slotp[i] = s;
+                        if (s) {
+                            const MEntry* b = index.arena
+                                + (s->bc >> 5);
+                            __builtin_prefetch(b);
+                            if ((s->bc & 31) > 8)
+                                __builtin_prefetch(b + 8);
+                        }
+                    }
+                    for (size_t i = 0; i < npr; i++) {
+                        l_probe++;
+                        if (!slotp[i]) continue;
+                        if (i < sv.size())
+                            probe(slotp[i], (int64_t)sv[i].first, 0, c);
+                        else
+                            probe(slotp[i],
+                                  (int64_t)rcs[i - sv.size()].first, 1,
+                                  rc.data());
                     }
                     if (have) {
                         out_ref[r] = b_ref;
@@ -1911,10 +1984,18 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                         out_score[r] = b_score;
                     }
                 }
+#pragma omp atomic
+                n_probe += l_probe;
+#pragma omp atomic
+                n_cand += l_cand;
+#pragma omp atomic
+                n_scored += l_scored;
             }
             for (int64_t r = g_lo; r < g_hi; r++)
                 matched += out_ref[r] >= 0;
         }
+        t_query += now() - t0;
+        t0 = now();
         // index this chunk's precomputed kmers (serial: insertion order
         // is part of the frozen selection rule). Inserts of DIFFERENT
         // keys commute, so a stable radix partition by table region
@@ -1934,14 +2015,90 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
         for (const MIns& e : ins)
             ins2[bcount[((mix64(e.key) >> 3) & index.mask) >> tbits]++]
                 = e;
-        for (size_t i = 0; i < ins2.size(); i++) {
-            if (i + 8 < ins2.size())
-                __builtin_prefetch(&index.slots[
-                    (mix64(ins2[i + 8].key) >> 3) & index.mask], 1);
-            index.insert(ins2[i].key, ins2[i].ref, ins2[i].pos);
+        // Parallel insert (round 5): the radix buckets are disjoint
+        // table regions, processed even-indexed then odd-indexed so a
+        // linear-probe run spilling past a region edge (load <= 0.5
+        // keeps runs to a few dozen slots; regions are thousands) can
+        // never reach a concurrently-active region. The frozen per-key
+        // entry order is preserved: a key's inserts all land in its
+        // home bucket (stable partition) and one thread owns a bucket.
+        // Tiny tables (regions too small for the spill argument) take
+        // the serial path.
+        // NB: `arena` in this scope is the CODES arena; the candidate
+        // arena is index.arena (sized here with worst-case slack for
+        // this chunk: one allocation of <= 16 entries per insert, then
+        // trimmed to the cursor)
+        std::atomic<int64_t> acur(index.asize);
+        index.grow(index.asize + 16 * (int64_t)ins2.size());
+        if (index.mask + 1 >= (1 << 14)) {
+#pragma omp parallel
+            for (int phase = 0; phase < 2; phase++) {
+                // one parallel region, two worksharing loops: the
+                // implicit barrier after each `omp for` separates the
+                // phases without respawning the team per phase
+#pragma omp for schedule(dynamic, 4)
+                for (int b = phase; b < 256; b += 2) {
+                    size_t lo_i = b ? bcount[b - 1] : 0;
+                    size_t hi_i = bcount[b];
+                    for (size_t i = lo_i; i < hi_i; i++) {
+                        if (i + 8 < hi_i)
+                            __builtin_prefetch(&index.slots[
+                                (mix64(ins2[i + 8].key) >> 3)
+                                & index.mask], 1);
+                        index.insert(ins2[i].key, ins2[i].ref,
+                                     ins2[i].pos, acur);
+                    }
+                }
+            }
+        } else {
+            for (size_t i = 0; i < ins2.size(); i++)
+                index.insert(ins2[i].key, ins2[i].ref, ins2[i].pos,
+                             acur);
         }
+        index.asize = acur.load();
+        t_insert += now() - t0;
     }
+    if (mstats)
+        fprintf(stderr,
+                "match_find: arena %.1fms sample %.1fms query %.1fms "
+                "insert %.1fms | probes %lld cand-walks %lld scored %lld "
+                "matched %lld\n",
+                t_arena * 1e3, t_sample * 1e3, t_query * 1e3,
+                t_insert * 1e3, (long long)n_probe, (long long)n_cand,
+                (long long)n_scored, (long long)matched);
     return matched;
+}
+
+// Emit the per-aux-lane MATCH descriptor streams (frozen v5 layout —
+// byte-identical to models/matcher.py encode_match_lanes, pinned by
+// tests): per accepted read r (ref >= 0 and score >= min_score), lane
+// w = r % wa receives varint(ordinal - prev_ord), varint(r - ref),
+// varint(zigzag(v) << 1 | orient). Outputs land in arena_out[w * stride
+// ..] with per-lane sizes; returns -1 if any lane would overflow its
+// stride (callers size stride at 30 bytes per lane record, the varint
+// worst case, so this cannot fire in practice).
+int64_t match_encode_lanes(const int64_t* refs, const uint8_t* orients,
+                           const int64_t* vs, const int64_t* scores,
+                           int64_t n, int64_t min_score, int64_t wa,
+                           uint8_t* arena_out, int64_t stride,
+                           int64_t* sizes) {
+    std::vector<int64_t> prev((size_t)wa, -1);
+    for (int64_t w = 0; w < wa; w++) sizes[w] = 0;
+    for (int64_t r = 0; r < n; r++) {
+        if (refs[r] < 0 || scores[r] < min_score) continue;
+        int64_t w = r % wa;
+        if (stride - sizes[w] < 30) return -1;
+        uint8_t* dst = arena_out + w * stride + sizes[w];
+        int64_t ordinal = r / wa;
+        int64_t k = 0;
+        k += put_varint_raw(dst + k, (uint64_t)(ordinal - prev[w]));
+        k += put_varint_raw(dst + k, (uint64_t)(r - refs[r]));
+        k += put_varint_raw(dst + k, (m_zz(vs[r]) << 1)
+                                     | (uint64_t)orients[r]);
+        sizes[w] += k;
+        prev[w] = ordinal;
+    }
+    return 0;
 }
 
 // e-transform rewrite: letters over matched spans become

@@ -158,14 +158,19 @@ def stream_jobs_fast(data: np.ndarray, idx: dict, lo: int, hi: int,
         if getattr(cfg, "match", False) and sgeom.match_bits \
                 and n > M.MATCH_CHUNK:
             if native.has_matcher():
-                extra["matches"] = native.match_find(
+                # production representation: (ref, orient, v, score)
+                # arrays end to end — the per-read tuple list cost
+                # ~50 ms/64k block in Python object churn (round 5)
+                m_arrs = native.match_find_arrays(
                     data, seq_off, lengths, min(M.THRESHOLDS))
+                extra["matches"] = m_arrs if bool((m_arrs[0] >= 0).any()) \
+                    else None
             else:
                 codes8 = [M._B2C0[data[seq_off[r]: seq_off[r] + lengths[r]]]
                           for r in range(n)]
                 extra["matches"] = M.find_matches(codes8)
-            if not any(m is not None for m in extra["matches"]):
-                extra["matches"] = None
+                if not any(m is not None for m in extra["matches"]):
+                    extra["matches"] = None
             extra["seq_off_local"] = seq_off
     jobs["SEQ"] = ("seq", sgeom, sq, scounts, pos, reset)
 
@@ -198,8 +203,14 @@ def _e_rewrite_letters(dst: np.ndarray, src: np.ndarray,
                        matches, min_score: int) -> None:
     """Rewrite matched spans of dst (a copy of src) with e-transform
     LETTERS: letters(e) = C2B[(B2C0[read] - B2C0[ref]) & 3]. Reads refs
-    from the UNMODIFIED src (refs may already be rewritten in dst)."""
+    from the UNMODIFIED src (refs may already be rewritten in dst).
+    `matches` is either the native (ref, orient, v, score) array bundle
+    or the oracle per-read tuple list."""
     from .models import matcher as M
+    if isinstance(matches, tuple):
+        native.match_apply_arrays(dst, np.ascontiguousarray(src), seq_off,
+                                  lengths, matches, min_score)
+        return
     if native.has_matcher():
         native.match_apply(dst, np.ascontiguousarray(src), seq_off,
                            lengths, matches, min_score)
@@ -235,15 +246,51 @@ def _match_trials(pre_jobs_extra, data, idx, lo, hi, cfg,
     total = int(lengths.sum())
     scounts = np.asarray(ll_mat).sum(axis=0)
     S = int(scounts.max()) if scounts.size else 0
+    is_arr = isinstance(matches, tuple)
+    if is_arr and raw_args is None:
+        # rare host-pack fallback (raw span >= 2 GiB): run the list form
+        refs, orients, vs, scores = matches
+        matches = [None if refs[r] < 0
+                   else (int(refs[r]), int(orients[r]), int(vs[r]),
+                         int(scores[r])) for r in range(n)]
+        is_arr = False
     trials = []
+    prev_acc = None
     for t in M.THRESHOLDS:
-        if not any(m is not None and m[3] >= t for m in matches):
-            continue
-        mlanes = M.encode_match_lanes(matches, t, n, cfg.aux_lanes)
-        msyms, mcounts = _lanes_to_mat(mlanes, cfg.aux_lanes)
-        per_read = [m[:3] if (m and m[3] >= t) else None for m in matches]
-        flag_flat = M.span_flags_flat(M.spans(per_read, lengths),
-                                      rec_starts, total)
+        if is_arr:
+            refs, orients, vs, scores = matches
+            acc = (refs >= 0) & (scores >= t)
+            if not acc.any():
+                continue
+            if prev_acc is not None and np.array_equal(acc, prev_acc):
+                # identical accepted set => byte-identical SEQ/MATCH
+                # trial, which can never win the strict `< best_total`
+                # test against its twin — skip the duplicate work
+                # (common on high-coverage blocks where most scores are
+                # perfect; container bytes are unchanged by the skip)
+                continue
+            prev_acc = acc
+            mlanes = native.match_encode_lanes(matches, t, n,
+                                               cfg.aux_lanes)
+            msyms, mcounts = _lanes_to_mat(mlanes, cfg.aux_lanes)
+            recs = np.flatnonzero(acc)
+            los, his = _match_span_bounds(
+                (recs, refs[recs], orients[recs], vs[recs]), lengths)
+            d = np.zeros(total + 1, dtype=np.int32)
+            keep = his > los
+            st = rec_starts[recs[keep]]
+            np.add.at(d, st + los[keep], 1)
+            np.add.at(d, st + his[keep], -1)
+            flag_flat = (np.cumsum(d[:-1]) > 0).astype(np.uint8)
+        else:
+            if not any(m is not None and m[3] >= t for m in matches):
+                continue
+            mlanes = M.encode_match_lanes(matches, t, n, cfg.aux_lanes)
+            msyms, mcounts = _lanes_to_mat(mlanes, cfg.aux_lanes)
+            per_read = [m[:3] if (m and m[3] >= t) else None
+                        for m in matches]
+            flag_flat = M.span_flags_flat(M.spans(per_read, lengths),
+                                          rec_starts, total)
         mflag, _, _, _ = native.pack_lanes(flag_flat, rec_starts, lengths,
                                            cfg.lanes, S, dtype=np.uint8)
         if raw_args is not None:
