@@ -3,14 +3,16 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Headline value = END-TO-END single-chip throughput: 2 x raw FASTQ bytes
-divided by the sum of every pipeline stage on the host (parse/index,
-stream-job prep, aux-stream packing, compaction flush, container
-write + read, decode prep, decode host finish) plus every on-device
-kernel (lane pack/unpack, schedule + coder per stream, Pallas payload
-compaction, encode and decode), measured with block_until_ready. This is
-the number a user gets from `sfq` on a production host, per block,
-single-threaded.
+Headline value (round 5+) = ANCHORED WALL-CLOCK end-to-end throughput:
+2 x raw FASTQ bytes of an SFQ_WALL_BLOCKS-block run (default 4 x the
+pinned 64k-record block) divided by the measured wall time of real
+api.encode_fastq + decode_fastq invocations (the 3-stage pipelined host
+path, kernels replayed from a tape) plus the TPU pass's measured kernel
+seconds per block. No per-stage synthesis: the wall clock pays
+orchestration, contention and pipeline (in)efficiency for real. The
+former headline — the sum of per-stage minima (host stages from a
+CPU-only pass + device kernels with block_until_ready) — is retained as
+`value_stage_sum`, the per-block diagnostic upper bound.
 
 Round-3 pipeline shape (device-resident layout transform): the raw block
 bytes cross to the device once; lane packing (gather), coding, payload
@@ -646,9 +648,13 @@ class _ReplayBackend:
 
 
 def phase_wall() -> int:
-    """Single-process wall-clock anchor (round-3 VERDICT #3): time real
-    api.encode_fastq + decode_fastq invocations of the pinned shape, in
-    THIS process, wall clock — no per-stage synthesis. Two figures:
+    """Single-process wall-clock anchor — the HEADLINE phase since round
+    5: time real api.encode_fastq + decode_fastq invocations over
+    SFQ_WALL_BLOCKS (default 4) blocks of the pinned shape, in THIS
+    process, wall clock — no per-stage synthesis. Multi-block is the
+    honest production shape: the 3-stage pipeline (prep || device ||
+    write, read || device || finish) only overlaps across block
+    boundaries, and a sustained encoder is never single-block. Figures:
 
     - wall_cpu_*: one full invocation with the JAX kernels executing on
       the host cores (CPU backend). Real but kernel-dominated here —
@@ -657,21 +663,27 @@ def phase_wall() -> int:
     - wall_host_*: the same invocations with kernel outputs replayed
       from a tape (recorded in the timed cpu run), so the wall clock
       measures everything EXCEPT kernels: the whole host pipeline under
-      real contention. summarize() adds the TPU pass's measured kernel
-      seconds to form value_wallclock_anchored — the un-synthesized
-      check on the min-of-stages headline."""
+      real contention, including pipeline overlap. summarize() adds the
+      TPU pass's measured kernel seconds (x blocks, conservatively
+      serial — the real pipeline overlaps them) to form the anchored
+      headline."""
     from slimfastq_tpu.api import decode_fastq, encode_fastq
     from slimfastq_tpu.ops import streams_jax
+    from slimfastq_tpu.utils.synth import synth_fastq
 
     reads, read_len, level, cfg = _cfg()
-    data = _data(reads, read_len)
+    B = max(1, int(os.environ.get("SFQ_WALL_BLOCKS", "4")))
+    data = synth_fastq(reads * B, read_len=read_len, seed=0,
+                       var_len=False, n_rate=0.0005)
     kw = dict(lanes=cfg.lanes, aux_lanes=cfg.aux_lanes,
               block_records=cfg.block_records)
     back = _ReplayBackend(streams_jax)
-    # warm-up: compile every kernel + build the .so (untimed)
-    enc = encode_fastq(data, level=level, backend=streams_jax, **kw)
-    out = decode_fastq(enc, backend=streams_jax)
-    assert out == data, "wall-clock round-trip mismatch"
+    # warm-up on ONE block: compiles every kernel shape the B-block run
+    # uses (all full blocks share shapes) + builds the .so (untimed)
+    wdata = _data(reads, read_len)
+    enc_w = encode_fastq(wdata, level=level, backend=streams_jax, **kw)
+    out = decode_fastq(enc_w, backend=streams_jax)
+    assert out == wdata, "wall-clock round-trip mismatch"
     # one REAL timed invocation (records the tape as a side effect)
     t0 = pc()
     enc = encode_fastq(data, level=level, backend=back, **kw)
@@ -682,7 +694,7 @@ def phase_wall() -> int:
     assert out == data, "wall-clock round-trip mismatch"
     # replay runs: kernels served from the tape -> host-pipeline wall
     es, ds = [], []
-    for _ in range(max(ITERS, 3)):
+    for _ in range(max(ITERS, 5)):
         back.start_replay()
         t0 = pc()
         enc2 = encode_fastq(data, level=level, backend=back, **kw)
@@ -695,7 +707,7 @@ def phase_wall() -> int:
     med = (sorted(es)[len(es) // 2] + sorted(ds)[len(ds) // 2])
     t = {"wall_cpu_encode_s": wall_cpu_e, "wall_cpu_decode_s": wall_cpu_d,
          "wall_host_encode_s": best_e, "wall_host_decode_s": best_d,
-         "raw": len(data),
+         "raw": len(data), "blocks": B,
          "spread": round(med / max(best_e + best_d, 1e-9), 3)}
     with open(os.path.join(WORKDIR, "wall.json"), "w") as f:
         json.dump(t, f)
@@ -872,28 +884,43 @@ def summarize(enc, dec, denc, ddec, level, wall=None):
         },
     }
     if wall is not None:
-        # measured single-process wall-clock anchors (round-3 VERDICT
-        # #3): (a) one real CPU-backend invocation, (b) the host
-        # pipeline with kernels replayed from a tape + the TPU pass's
-        # measured kernel seconds — the un-synthesized sanity check on
-        # the min-of-stages headline (delta discussed in BASELINE.md).
+        # Measured single-process wall-clock anchor — the HEADLINE
+        # since round 5 (round-4 VERDICT next #1: "make the anchored
+        # number the headline"): the host pipeline over SFQ_WALL_BLOCKS
+        # blocks with kernels replayed from a tape, plus the TPU pass's
+        # measured kernel seconds per block (added serially — the real
+        # pipeline overlaps them, so this is conservative). The per-
+        # stage min-of-N sum is retained as value_stage_sum (the
+        # diagnostic upper bound; the round-2..4 headline).
+        B = wall.get("blocks", 1)
+        wraw = wall.get("raw", raw * B)
         w_cpu = wall["wall_cpu_encode_s"] + wall["wall_cpu_decode_s"]
         w_host = wall["wall_host_encode_s"] + wall["wall_host_decode_s"]
+        anchored = 2 * wraw / (w_host + dev * B) / 1e9
+        stage_sum = out["value"]
         out.update({
-            "wallclock_gbps_cpu_backend": round(2 * raw / w_cpu / 1e9, 5),
+            "value": round(anchored, 4),
+            "vs_baseline": round(anchored / 0.1, 2),
+            "value_stage_sum": stage_sum,
+            "headline": "wallclock_anchored",
+            "wall_blocks": B,
+            "wall_raw_bytes": wraw,
+            "value_anchored_with_pcie_at_10gbps": round(
+                2 * wraw / (w_host + (dev + pcie_s) * B) / 1e9, 4),
+            "wallclock_gbps_cpu_backend": round(2 * wraw / w_cpu / 1e9,
+                                                5),
             "wallclock_cpu_encode_s": round(wall["wall_cpu_encode_s"], 5),
             "wallclock_cpu_decode_s": round(wall["wall_cpu_decode_s"], 5),
             "wallclock_host_encode_s": round(wall["wall_host_encode_s"],
                                              5),
             "wallclock_host_decode_s": round(wall["wall_host_decode_s"],
                                              5),
-            "value_wallclock_anchored": round(
-                2 * raw / (w_host + dev) / 1e9, 4),
-            "wallclock_note": "cpu_backend = one real invocation with "
-                              "kernels ON the host cores (real, slow); "
-                              "anchored = host-pipeline wall clock "
+            "value_wallclock_anchored": round(anchored, 4),
+            "wallclock_note": "value = anchored wall clock: host "
+                              "pipeline over wall_blocks blocks "
                               "(kernels replayed) + measured TPU kernel "
-                              "seconds (BASELINE.md)",
+                              "seconds; value_stage_sum = per-stage "
+                              "min-of-N sum (BASELINE.md)",
         })
         if wall.get("spread", 1.0) > 3.0:
             out["degraded"] = True

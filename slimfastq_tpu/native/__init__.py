@@ -43,6 +43,15 @@ def _load():
     global lib
     if not _build():
         return
+    # Bounded OpenMP barrier spin (must be set before libgomp
+    # initialises). The pipelined encode/decode runs OpenMP regions from
+    # several Python threads — one libgomp team per calling thread — and
+    # the default long spin makes an idle team steal cores from the
+    # active one (measured: decode-finish wall time was bimodal 8 vs
+    # 60-80 ms per 64k block inside the 3-stage pipeline; a 20k spin
+    # stabilises it without the sleep/wake latency OMP_WAIT_POLICY=
+    # passive adds to the short hot regions).
+    os.environ.setdefault("GOMP_SPINCOUNT", "20000")
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
