@@ -34,8 +34,9 @@ ordinal = r // Wa). Per matched read, in record order within the lane:
 Encoder match search (shared policy — the C++ twin in native/host.cpp must
 reproduce it bit-for-bit; tests pin equality):
   * K = 16-base k-mers packed 2 bits MSB-first; a position is *sampled*
-    iff splitmix64_mix(kmer) & 7 == 0 (content-keyed sampling: index and
-    query sample identical positions, so arbitrary shifts are found).
+    iff splitmix64_mix(kmer) & SAMPLE_MASK == 0 (content-keyed sampling:
+    index and query sample identical positions, so arbitrary shifts are
+    found). SAMPLE_MASK is an encoder knob (see its comment below).
   * Reads are processed in chunks of MATCH_CHUNK records; candidates come
     only from earlier chunks (lets the C++ matcher parallelise queries
     within a chunk; decode does not care).
@@ -70,12 +71,21 @@ beats LZ).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..utils.bits import get_varint, put_varint
 
 K = 16
-SAMPLE_MASK = 7          # sample iff mix(kmer) & SAMPLE_MASK == 0
+# sample iff mix(kmer) & SAMPLE_MASK == 0 (content-keyed: index and
+# query sample identical positions). ENCODER policy, not bit format —
+# decode reads explicit descriptors. Default 15 (1/16) since round 5:
+# vs 7 (1/8) it costs +0.16..0.23% container size on the probe corpora
+# and cuts match_find ~38% (tools/probe_sample_mask.py re-measures).
+# The env override exists for that probe tool; the C++ twin reads the
+# same variable, so oracle/native equality holds under any setting.
+SAMPLE_MASK = int(os.environ.get("SFQ_MATCH_SAMPLE_MASK", "15"))
 MAX_CAND = 16
 MM_PENALTY = 8
 MATCH_CHUNK = 1024

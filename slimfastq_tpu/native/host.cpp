@@ -1557,7 +1557,19 @@ void minmax_ranges(const uint8_t* src, const int64_t* offs,
 // ---------------------------------------------------------------------------
 
 static const int MK = 16;            // k-mer length
-static const uint64_t MSAMPLE = 7;   // sample iff mix & MSAMPLE == 0
+// sample iff mix & MSAMPLE == 0. Default 15 (1/16, round 5 — measured
+// +0.16..0.23% container for -38% match_find vs 1/8) — ENCODER policy,
+// not bit format (decode reads explicit descriptors).
+// SFQ_MATCH_SAMPLE_MASK overrides for ratio/speed probes
+// (tools/probe_sample_mask.py); models/matcher.py reads the same
+// variable so oracle/native equality holds under any setting.
+static uint64_t MSAMPLE = 15;
+static struct MSampleEnv {
+    MSampleEnv() {
+        const char* e = std::getenv("SFQ_MATCH_SAMPLE_MASK");
+        if (e) MSAMPLE = (uint64_t)strtoull(e, nullptr, 10);
+    }
+} _msample_env;
 static const int MMAXC = 16;         // index entries per kmer
 static const int MPEN = 8;           // mismatch penalty
 static const int64_t MCHUNK = 1024;  // index chunk (records)
@@ -1891,10 +1903,6 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                             l_cand++;
                             if (b_score == L && en.ref < b_ref) break;
                             int64_t v = (int64_t)en.pos - p;
-                            uint64_t key = ((uint64_t)en.ref << 34) |
-                                           ((uint64_t)orient << 33) |
-                                           m_zz(v);
-                            if (!seen.add(key)) continue;
                             int64_t lref = seq_len[en.ref];
                             int64_t lo = v < 0 ? -v : 0;
                             int64_t hi = L < lref - v ? L : lref - v;
@@ -1906,6 +1914,17 @@ int64_t match_find(const uint8_t* data, const int64_t* seq_off,
                             // neither reach min_score nor beat OR TIE
                             // best — skip without touching ref memory
                             if (span < floor_s) continue;
+                            // dedup only candidates that survive the
+                            // arithmetic pruning: span and the floor
+                            // monotonicity (floor only rises) make the
+                            // pruning deterministic per candidate key,
+                            // so the SCORED set — and the selection —
+                            // are unchanged; the dedup set just stops
+                            // paying for candidates arithmetic kills
+                            uint64_t key = ((uint64_t)en.ref << 34) |
+                                           ((uint64_t)orient << 33) |
+                                           m_zz(v);
+                            if (!seen.add(key)) continue;
                             const uint8_t* cr =
                                 arena.data() + starts[en.ref];
                             l_scored++;
