@@ -646,6 +646,22 @@ class _ReplayBackend:
     def decode_seq_qual_raw(self, *a, **k):
         return self._call("decode_seq_qual_raw", *a, **k)
 
+    # batched multi-block surface (small-block window batching): the
+    # tape stores each window call's final per-block results (which
+    # include the batched paths' in-call host compaction, ~0.5 ms/block
+    # — the anchored wall is that much conservative-side elsewhere)
+    def encode_seq_qual_raw_blocks(self, *a, **k):
+        return self._call("encode_seq_qual_raw_blocks", *a, **k)
+
+    def encode_stream_blocks(self, *a, **k):
+        return self._call("encode_stream_blocks", *a, **k)
+
+    def decode_seq_qual_raw_blocks(self, *a, **k):
+        return self._call("decode_seq_qual_raw_blocks", *a, **k)
+
+    def decode_stream_blocks(self, *a, **k):
+        return self._call("decode_stream_blocks", *a, **k)
+
 
 def phase_wall() -> int:
     """Single-process wall-clock anchor — the HEADLINE phase since round

@@ -31,6 +31,22 @@ def _pipe_depth() -> int:
     return max(1, int(os.environ.get("SFQ_PIPE_DEPTH", "2")))
 
 
+def _batch_window(cfg: CodecConfig, backend, attr: str) -> int:
+    """Blocks per device dispatch in the native encode/decode paths.
+    Blocks that underfill the W coder lanes pay fixed per-dispatch cost
+    (a 16k-record block runs the 1024-lane kernels 4x underfilled), so
+    small blocks batch through the vmapped multi-block kernels
+    (streams_jax.*_blocks; round-4 VERDICT next #3). Only engages when
+    the backend exposes the batched surface. SFQ_BATCH_BLOCKS=1
+    disables, =n forces a window of n."""
+    if not hasattr(backend, attr):
+        return 1
+    env = os.environ.get("SFQ_BATCH_BLOCKS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(8, 65536 // max(cfg.block_records, 1)))
+
+
 def encode_fastq(data: bytes, cfg: CodecConfig | None = None,
                  level: int = 3, backend=streams_np,
                  use_native: bool | None = None, **overrides) -> bytes:
@@ -57,21 +73,37 @@ def encode_fastq(data: bytes, cfg: CodecConfig | None = None,
         # 1-worker writer preserves block order, so the container is
         # byte-identical to the serial path.
         depth = _pipe_depth()
+        wb = _batch_window(cfg, backend, "encode_seq_qual_raw_blocks")
+        ahead = depth + wb - 1
         with ThreadPoolExecutor(max_workers=depth) as prep_ex, \
                 ThreadPoolExecutor(max_workers=1) as write_ex:
             pfuts = deque(prep_ex.submit(prepare_block_fast, buf, idx,
                                          *ranges[j], cfg, backend)
-                          for j in range(min(depth, len(ranges))))
+                          for j in range(min(ahead, len(ranges))))
+            ns = len(pfuts)
             wfuts = []
-            for i, _ in enumerate(ranges):
-                pre = pfuts.popleft().result()
-                if i + depth < len(ranges):
-                    pfuts.append(prep_ex.submit(
-                        prepare_block_fast, buf, idx, *ranges[i + depth],
-                        cfg, backend))
-                blk = encode_prepared_block(pre, cfg, backend)
-                wfuts.append(write_ex.submit(container.write_block, out,
-                                             blk))
+            done = 0
+            while done < len(ranges):
+                take = min(wb, len(ranges) - done)
+                pres = []
+                for _ in range(take):
+                    pres.append(pfuts.popleft().result())
+                    if ns < len(ranges):
+                        pfuts.append(prep_ex.submit(
+                            prepare_block_fast, buf, idx, *ranges[ns],
+                            cfg, backend))
+                        ns += 1
+                if take == 1:
+                    blks = [encode_prepared_block(pres[0], cfg, backend)]
+                else:
+                    from .parallel.sharded import \
+                        encode_prepared_blocks_sharded
+                    blks = encode_prepared_blocks_sharded(
+                        pres, cfg, None, dev=backend, backend=backend)
+                for blk in blks:
+                    wfuts.append(write_ex.submit(container.write_block,
+                                                 out, blk))
+                done += take
             offsets = [wf.result() for wf in wfuts]
     else:
         batch = parse_fastq_bytes(data)
@@ -99,24 +131,46 @@ def decode_fastq(data: bytes, backend=streams_np,
         # reader prefetches block k+1's container bytes while block k is
         # on the device; up to `depth` host finishes (ID chain decode +
         # assembly, release the GIL) run behind the device. Results are
-        # collected in submission order.
+        # collected in submission order. Small blocks decode in windows
+        # through the batched multi-block kernels instead
+        # (_batch_window).
         depth = _pipe_depth()
+        wb = _batch_window(cfg, backend, "decode_seq_qual_raw_blocks")
         with ThreadPoolExecutor(max_workers=depth) as fin_ex, \
                 ThreadPoolExecutor(max_workers=1) as read_ex:
             gen = container.iter_blocks(f, cfg)
             rfut = read_ex.submit(next, gen, None)
-            futs = deque()
-            while True:
-                blk = rfut.result()
-                if blk is None:
-                    break
-                rfut = read_ex.submit(next, gen, None)
-                inter = decode_block_device(blk, cfg, backend)
-                futs.append(fin_ex.submit(decode_block_finish, inter, cfg))
-                while len(futs) > depth:
+            if wb > 1:
+                from .parallel.sharded import decode_blocks_sharded
+                blocks = []
+                while True:
+                    blk = rfut.result()
+                    if blk is None:
+                        break
+                    rfut = read_ex.submit(next, gen, None)
+                    blocks.append(blk)
+                    if len(blocks) >= wb:
+                        parts.extend(decode_blocks_sharded(
+                            blocks, cfg, None, dev=backend,
+                            backend=backend))
+                        blocks = []
+                if blocks:
+                    parts.extend(decode_blocks_sharded(
+                        blocks, cfg, None, dev=backend, backend=backend))
+            else:
+                futs = deque()
+                while True:
+                    blk = rfut.result()
+                    if blk is None:
+                        break
+                    rfut = read_ex.submit(next, gen, None)
+                    inter = decode_block_device(blk, cfg, backend)
+                    futs.append(fin_ex.submit(decode_block_finish, inter,
+                                              cfg))
+                    while len(futs) > depth:
+                        parts.append(futs.popleft().result())
+                while futs:
                     parts.append(futs.popleft().result())
-            while futs:
-                parts.append(futs.popleft().result())
     else:
         for blk in container.iter_blocks(f, cfg):
             parts.append(serialize_fastq(decode_block(blk, cfg,

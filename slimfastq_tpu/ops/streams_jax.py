@@ -1002,3 +1002,47 @@ def decode_seq_qual_raw(seq_geom, qual_geom,
     # buffers — saves two ~6.5 MB copies per block
     return (np.asarray(seq_flat)[:total],
             np.asarray(qual_flat)[:total])
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-block entry points (round-5 small-block batching, VERDICT
+# next #3): the mesh path's vmapped kernels built WITHOUT a mesh — plain
+# jit(vmap) on the one local device — so api.encode_fastq/decode_fastq can
+# amortise per-dispatch cost when blocks underfill the W lanes (16k-record
+# blocks run the 1024-lane kernels 4x underfilled). Signatures match
+# parallel/sharded._MeshBatch, so parallel/sharded's window orchestration
+# serves both the sharded and the single-chip path; the bench replay
+# backend tapes these like any other backend call.
+# ---------------------------------------------------------------------------
+
+def encode_seq_qual_raw_blocks(sgeoms, raw_list, counts_list, qgeoms,
+                               minqs, seq_map):
+    from ..parallel import mesh as pmesh
+    return pmesh.encode_seq_qual_raw_blocks(sgeoms, None, raw_list,
+                                            counts_list, qgeoms, minqs,
+                                            seq_map)
+
+
+def encode_stream_blocks(kind, geom, syms_list, counts_list,
+                         pos_list=None, reset_list=None):
+    from ..parallel import mesh as pmesh
+    return pmesh.encode_stream_blocks(kind, geom, None, syms_list,
+                                      counts_list, pos_list, reset_list)
+
+
+def decode_seq_qual_raw_blocks(sgeoms, pay_s, lens_s, pay_q, lens_q,
+                               ll_list, counts_list, starts_list,
+                               lengths_list, totals, qgeoms, minqs,
+                               seq_map):
+    from ..parallel import mesh as pmesh
+    return pmesh.decode_seq_qual_raw_blocks(
+        sgeoms, None, pay_s, lens_s, pay_q, lens_q, ll_list, counts_list,
+        starts_list, lengths_list, totals, qgeoms, minqs, seq_map)
+
+
+def decode_stream_blocks(kind, geom, payload_list, lens_list, counts_list,
+                         steps_list, pos_list=None, reset_list=None):
+    from ..parallel import mesh as pmesh
+    return pmesh.decode_stream_blocks(kind, geom, None, payload_list,
+                                      lens_list, counts_list, steps_list,
+                                      pos_list, reset_list)

@@ -23,6 +23,46 @@ from ..utils.fastq import parse_fastq_bytes
 from . import mesh as pmesh
 
 
+class _MeshBatch:
+    """Batch device surface bound to a mesh — the sharded path's default.
+    The single-chip small-block window path passes the streams backend
+    itself instead (same signatures, mesh-free jit(vmap) kernels — see
+    ops/streams_jax.py *_blocks; a replay bench backend tapes them), so
+    one orchestration serves both (round-4 VERDICT next #3)."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def encode_seq_qual_raw_blocks(self, sgeoms, raw_list, counts_list,
+                                   qgeoms, minqs, seq_map):
+        return pmesh.encode_seq_qual_raw_blocks(
+            sgeoms, self.mesh, raw_list, counts_list, qgeoms, minqs,
+            seq_map)
+
+    def encode_stream_blocks(self, kind, geom, syms_list, counts_list,
+                             pos_list=None, reset_list=None):
+        return pmesh.encode_stream_blocks(kind, geom, self.mesh,
+                                          syms_list, counts_list,
+                                          pos_list, reset_list)
+
+    def decode_seq_qual_raw_blocks(self, sgeoms, pay_s, lens_s, pay_q,
+                                   lens_q, ll_list, counts_list,
+                                   starts_list, lengths_list, totals,
+                                   qgeoms, minqs, seq_map):
+        return pmesh.decode_seq_qual_raw_blocks(
+            sgeoms, self.mesh, pay_s, lens_s, pay_q, lens_q, ll_list,
+            counts_list, starts_list, lengths_list, totals, qgeoms,
+            minqs, seq_map)
+
+    def decode_stream_blocks(self, kind, geom, payload_list, lens_list,
+                             counts_list, steps_list, pos_list=None,
+                             reset_list=None):
+        return pmesh.decode_stream_blocks(kind, geom, self.mesh,
+                                          payload_list, lens_list,
+                                          counts_list, steps_list,
+                                          pos_list, reset_list)
+
+
 def _encode_sharded_native(data: bytes, cfg: CodecConfig, mesh,
                            window_blocks: int | None = None) -> bytes:
     """Native-host-prep sharded encode: SEQ+QUAL take the device-raw path
@@ -59,16 +99,21 @@ def _encode_sharded_native(data: bytes, cfg: CodecConfig, mesh,
     return out.getvalue()
 
 
-def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
-                                   mesh) -> list[EncodedBlock]:
+def encode_prepared_blocks_sharded(pres, cfg: CodecConfig, mesh,
+                                   dev=None,
+                                   backend=None) -> list[EncodedBlock]:
     """Encode a window of prepared blocks (pipeline_native.
     prepare_block_fast outputs) data-parallel over the mesh. Each
     returned EncodedBlock is byte-identical to encode_prepared_block on
-    the same prep — the unit both the whole-file sharded encode and the
-    bounded-memory streaming sharded encode build on."""
+    the same prep — the unit under the whole-file sharded encode, the
+    bounded-memory streaming sharded encode, AND (with dev=backend,
+    mesh ignored) the single-chip small-block window batching in
+    api.encode_fastq."""
     from ..ops import streams_jax
     from ..pipeline_native import _BASE_TO_CODE_DEV
 
+    backend = backend if backend is not None else streams_jax
+    dev = dev if dev is not None else _MeshBatch(mesh)
     B = len(pres)
     if B == 0:
         return []
@@ -77,8 +122,8 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
 
     # SEQ + QUAL: device-raw sharded encode for raw-capable blocks
     raw_idx = [b for b in range(B) if pres[b][5] is not None]
-    raw_out = pmesh.encode_seq_qual_raw_blocks(
-        [sgeoms[b] for b in raw_idx], mesh,
+    raw_out = dev.encode_seq_qual_raw_blocks(
+        [sgeoms[b] for b in raw_idx],
         [pres[b][5] for b in raw_idx],
         [np.asarray(pres[b][0]["SEQ"][3]) for b in raw_idx],
         [pres[b][0]["QUAL"][1] for b in raw_idx],
@@ -96,7 +141,7 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
             jobs, ll_mat = pres[b][0], pres[b][4]
             for name in ("SEQ", "QUAL"):
                 kind, geom, syms, counts, _pos, _reset = jobs[name]
-                payload, lens = streams_jax.encode_stream_ll(
+                payload, lens = backend.encode_stream_ll(
                     kind, geom, syms, ll_mat, counts)
                 results[b][name] = EncodedStream(
                     np.asarray(counts).astype(np.int64), lens, payload)
@@ -105,7 +150,7 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
     all_jobs = [pres[b][0] for b in range(B)]
     for name in streams_for(cfg.fmt):
         if name not in ("SEQ", "QUAL"):
-            _encode_stream_groups(name, all_jobs, results, mesh)
+            _encode_stream_groups(name, all_jobs, results, dev)
 
     # v5 match trials: per threshold, batch the e-variant SEQ encodes and
     # the MATCH streams across blocks; per-block winner selection mirrors
@@ -137,18 +182,18 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
                 t_, alt, msyms, mcounts, mflag = trial[b]
                 counts_b = pres[b][0]["SEQ"][3]
                 if pres[b][5] is not None:
-                    out_e = streams_jax.encode_seq_qual_raw(
+                    out_e = backend.encode_seq_qual_raw(
                         sgeoms[b], pres[b][0]["QUAL"][1], alt[0], alt[1],
                         alt[2], alt[3], cfg.lanes, _BASE_TO_CODE_DEV,
                         pres[b][2], pres[b][4], counts_b, padded=True,
                         seq_mflag=mflag, only=("SEQ",))
                     seq_e[b] = out_e["SEQ"]
                 else:  # rare non-raw fallback: ll path
-                    seq_e[b] = streams_jax.encode_stream_ll(
+                    seq_e[b] = backend.encode_stream_ll(
                         "seq", sgeoms[b], alt, pres[b][4], counts_b,
                         mflag=mflag)
-            m_enc = pmesh.encode_stream_blocks(
-                "byte", cfg.bytes_, mesh,
+            m_enc = dev.encode_stream_blocks(
+                "byte", cfg.bytes_,
                 [trial[b][2] for b in tb],
                 [np.asarray(trial[b][3]) for b in tb],
                 [None] * len(tb), [None] * len(tb))
@@ -175,9 +220,9 @@ def encode_prepared_blocks_sharded(pres, cfg: CodecConfig,
             for b in range(B)]
 
 
-def _encode_stream_groups(name, all_jobs, results, mesh):
+def _encode_stream_groups(name, all_jobs, results, dev):
     """Batch one stream across blocks (grouped by geometry) and encode it
-    sharded over the mesh, filling results[b][name]."""
+    through the batch device surface, filling results[b][name]."""
     kinds = [jb[name] for jb in all_jobs]
     kind = kinds[0][0]
     groups: dict[object, list[int]] = {}
@@ -191,8 +236,8 @@ def _encode_stream_groups(name, all_jobs, results, mesh):
         nonempty = [i for i, b in enumerate(idxs)
                     if syms_l[i].shape[0] > 0
                     and (counts_l[i] > 0).any()]
-        enc = pmesh.encode_stream_blocks(
-            kind, g, mesh,
+        enc = dev.encode_stream_blocks(
+            kind, g,
             [syms_l[i] for i in nonempty],
             [counts_l[i] for i in nonempty],
             [pos_l[i] for i in nonempty],
@@ -244,7 +289,8 @@ def encode_fastq_sharded(data: bytes, cfg: CodecConfig, mesh=None,
         # geometry)
         results: list[dict[str, EncodedStream]] = [dict() for _ in wr]
         for name in streams_for(cfg.fmt):
-            _encode_stream_groups(name, all_jobs, results, mesh)
+            _encode_stream_groups(name, all_jobs, results,
+                                  _MeshBatch(mesh))
         flags = _oracle_match_trials(all_jobs, extras, results, mesh, cfg)
         for b, (nb, minq, qd) in enumerate(metas):
             if extras[b].get("qual_nodelta"):
@@ -328,11 +374,13 @@ def _decode_sharded_native(data: bytes, mesh,
     return b"".join(parts)
 
 
-def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
+def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh, dev=None,
+                          backend=None) -> list:
     """Decode a window of container blocks data-parallel over the mesh;
     returns one bytes-like FASTQ part per block (byte-identical to the
-    sequential decoder). The unit under both the whole-file sharded
-    decode and the bounded-memory streaming sharded decode."""
+    sequential decoder). The unit under the whole-file sharded decode,
+    the bounded-memory streaming sharded decode, and (dev=backend) the
+    single-chip small-block window batching in api.decode_fastq."""
     from dataclasses import replace
 
     from ..ops import streams_jax
@@ -340,13 +388,15 @@ def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
     from ..pipeline_native import (_CODE_TO_BASE_FULL, decode_block_device,
                                    decode_block_finish)
 
+    backend = backend if backend is not None else streams_jax
+    dev = dev if dev is not None else _MeshBatch(mesh)
     if not blocks:
         return []
     W = cfg.lanes
 
     # 1. aux halves per block (LEN/FLAG/IDD/IDX/SEQX/MATCH; recovers
     # lengths + parsed match descriptors)
-    inters = [decode_block_device(blk, cfg, streams_jax,
+    inters = [decode_block_device(blk, cfg, backend,
                                   skip_seq_qual=True) for blk in blocks]
 
     # match-heavy blocks (v5): decoded per block (the match-context SEQ
@@ -373,7 +423,7 @@ def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
             from ..pipeline_native import _CODE_TO_BASE_FULL as _C2BF
             total = int(lengths.sum())
             if total < (1 << 31):
-                match_sq[b] = streams_jax.decode_seq_qual_raw(
+                match_sq[b] = backend.decode_seq_qual_raw(
                     sg, qg, blk.streams["SEQ"].payload,
                     blk.streams["SEQ"].lane_lens,
                     blk.streams["QUAL"].payload,
@@ -385,11 +435,11 @@ def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
                 # same guard + fallback as the sequential twin
                 # (pipeline_native.decode_block_device)
                 from ..pipeline import _CODE_TO_BASE as _C2B
-                seq_syms = streams_jax.decode_stream_ll(
+                seq_syms = backend.decode_stream_ll(
                     "seq", sg, blk.streams["SEQ"].payload,
                     blk.streams["SEQ"].lane_lens, ll, scounts, S,
                     mflag=mflag)
-                qual_syms = streams_jax.decode_stream_ll(
+                qual_syms = backend.decode_stream_ll(
                     "qual", qg, blk.streams["QUAL"].payload,
                     blk.streams["QUAL"].lane_lens, ll, scounts, S)
                 base_map = np.zeros(256, dtype=np.uint8)
@@ -424,8 +474,8 @@ def decode_blocks_sharded(blocks, cfg: CodecConfig, mesh) -> list:
               if (cfg.fmt >= 5 and blocks[b].seq_order) else cfg.seq
               for b in live]
     minqs = [blocks[b].minq for b in live]
-    sq = pmesh.decode_seq_qual_raw_blocks(
-        sgeoms, mesh, pay_s, lens_s, pay_q, lens_q, ll_list,
+    sq = dev.decode_seq_qual_raw_blocks(
+        sgeoms, pay_s, lens_s, pay_q, lens_q, ll_list,
         counts_list, starts_list, lengths_list, totals, qgeoms, minqs,
         _CODE_TO_BASE_FULL)
 
