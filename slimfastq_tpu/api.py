@@ -75,7 +75,8 @@ def encode_fastq(data: bytes, cfg: CodecConfig | None = None,
         depth = _pipe_depth()
         wb = _batch_window(cfg, backend, "encode_seq_qual_raw_blocks")
         ahead = depth + wb - 1
-        with ThreadPoolExecutor(max_workers=depth) as prep_ex, \
+        with native.pipeline_omp_cap(), \
+                ThreadPoolExecutor(max_workers=depth) as prep_ex, \
                 ThreadPoolExecutor(max_workers=1) as write_ex:
             pfuts = deque(prep_ex.submit(prepare_block_fast, buf, idx,
                                          *ranges[j], cfg, backend)
@@ -136,7 +137,8 @@ def decode_fastq(data: bytes, backend=streams_np,
         # (_batch_window).
         depth = _pipe_depth()
         wb = _batch_window(cfg, backend, "decode_seq_qual_raw_blocks")
-        with ThreadPoolExecutor(max_workers=depth) as fin_ex, \
+        with native.pipeline_omp_cap(), \
+                ThreadPoolExecutor(max_workers=depth) as fin_ex, \
                 ThreadPoolExecutor(max_workers=1) as read_ex:
             gen = container.iter_blocks(f, cfg)
             rfut = read_ex.submit(next, gen, None)
@@ -258,7 +260,8 @@ def encode_file_streaming(src: str, dst: str, level: int = 3,
                                       prepare_block_fast)
         depth = _pipe_depth()
         seen = 0
-        with ThreadPoolExecutor(max_workers=depth) as prep_ex, \
+        with native.pipeline_omp_cap(), \
+                ThreadPoolExecutor(max_workers=depth) as prep_ex, \
                 ThreadPoolExecutor(max_workers=1) as write_ex:
             pfuts: deque = deque()
             wfuts: deque = deque()
@@ -342,7 +345,8 @@ def decode_file_streaming(src: str, dst: str, backend=streams_np,
             # read || device || finish, bounded at `depth` blocks in
             # flight (same shape as decode_fastq)
             depth = _pipe_depth()
-            with ThreadPoolExecutor(max_workers=depth) as fin_ex, \
+            with native.pipeline_omp_cap(), \
+                    ThreadPoolExecutor(max_workers=depth) as fin_ex, \
                     ThreadPoolExecutor(max_workers=1) as read_ex:
                 gen = container.iter_blocks(f, cfg)
                 rfut = read_ex.submit(next, gen, None)

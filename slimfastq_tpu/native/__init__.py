@@ -65,6 +65,13 @@ def _load():
 
     lib.crc32_buf.restype = ctypes.c_uint32
     lib.crc32_buf.argtypes = [p8, i64]
+    try:  # OpenMP team-size control (absent in older cached .so)
+        lib.set_omp_threads.restype = None
+        lib.set_omp_threads.argtypes = [i64]
+        lib.get_omp_threads.restype = i64
+        lib.get_omp_threads.argtypes = []
+    except AttributeError:
+        pass
     lib.fastq_index.restype = i64
     lib.fastq_index.argtypes = [p8, i64, i64] + [pi64] * 9
     lib.lens_encode.restype = i64
@@ -170,6 +177,32 @@ def available() -> bool:
 def has_matcher() -> bool:
     """True when the C++ long-range matcher (format v5) is present."""
     return lib is not None and hasattr(lib, "match_find")
+
+
+class pipeline_omp_cap:
+    """Context manager: cap OpenMP team size while the 3-stage block
+    pipeline runs (2-3 Python threads each spawn their own libgomp
+    team; full-width teams oversubscribe the cores and thrash —
+    measured in tools/profile_wall.py, decode wall -35% and far lower
+    variance with teams of cores/2 on a 4-core host). Restores the
+    previous width on exit so isolated stage calls keep full teams.
+    SFQ_PIPE_OMP_THREADS overrides the cap (0 = leave unchanged)."""
+
+    def __enter__(self):
+        self._prev = None
+        if lib is None or not hasattr(lib, "set_omp_threads"):
+            return self
+        env = os.environ.get("SFQ_PIPE_OMP_THREADS")
+        cap = int(env) if env else max(1, (os.cpu_count() or 4) // 2)
+        if cap > 0:
+            self._prev = int(lib.get_omp_threads())
+            lib.set_omp_threads(cap)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            lib.set_omp_threads(self._prev)
+        return False
 
 
 def _as_u8(data) -> np.ndarray:

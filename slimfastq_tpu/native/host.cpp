@@ -189,6 +189,28 @@ uint32_t crc32_buf(const uint8_t* p, int64_t n) {
 // Returns number of records, or -1 on malformed input (err_pos receives the
 // record index that failed).
 // ---------------------------------------------------------------------------
+// OpenMP team-size control for the pipelined API paths: the 3-stage
+// block pipeline runs OpenMP regions from 2-3 Python threads at once
+// (prep/finish pool + main); full-width teams then oversubscribe the
+// cores and thrash at barriers (measured: decode wall 82-146 ms per 4
+// blocks at 4 threads on 4 cores vs 72-78 ms at 2 — tools/
+// profile_wall.py). api.py caps teams to ~cores/2 around the pipeline
+// and restores after.
+void set_omp_threads(int64_t n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads((int)n);
+#endif
+    (void)n;
+}
+
+int64_t get_omp_threads(void) {
+#ifdef _OPENMP
+    return omp_get_max_threads();
+#else
+    return 1;
+#endif
+}
+
 int64_t fastq_index(const uint8_t* data, int64_t n,
                     int64_t cap,  // max records the output arrays can hold
                     int64_t* id_off, int64_t* id_len,

@@ -72,31 +72,39 @@ def main():
                       (PN, "decode_block_device"),
                       (PN, "decode_block_finish"),
                       (C, "write_block"), (C, "read_block"),
-                      (native, "fastq_index")):
+                      (native, "fastq_index"), (native, "ids_decode"),
+                      (native, "fastq_assemble"),
+                      (native, "transpose_mat")):
         saves.append((mod, name, wrap(mod, name)))
     # api binds some of these at import time inside functions — it
     # imports from .pipeline_native at call time, so patching the module
     # attribute is enough.
 
     N = 5
-    best_e = best_d = 1e9
-    for i in range(N):
-        for d in (acc,):
-            d.clear()
-        back.start_replay()
-        t0 = pc()
-        enc2 = encode_fastq(data, level=3, backend=back, **kw)
-        we = pc() - t0
-        t0 = pc()
-        out = decode_fastq(enc2, backend=back)
-        wd = pc() - t0
-        assert enc2 == enc and out == data
-        print(f"run {i}: encode {we*1e3:.1f} ms  decode {wd*1e3:.1f} ms  "
-              + "  ".join(f"{k}={v*1e3:.1f}" for k, v in acc.items()))
-        best_e, best_d = min(best_e, we), min(best_d, wd)
-    print(f"best: encode {best_e*1e3:.1f} ms  decode {best_d*1e3:.1f} ms "
-          f"-> anchored-host {2*len(data)/(best_e+best_d)/1e9:.3f} GB/s "
-          "(+ device s)")
+    depths = [d for d in os.environ.get("SFQ_PROFILE_DEPTHS",
+                                        "").split(",") if d]
+    for depth in depths or [None]:
+        if depth is not None:
+            os.environ["SFQ_PIPE_DEPTH"] = depth
+            print(f"--- SFQ_PIPE_DEPTH={depth} ---")
+        best_e = best_d = 1e9
+        for i in range(N):
+            acc.clear()
+            back.start_replay()
+            t0 = pc()
+            enc2 = encode_fastq(data, level=3, backend=back, **kw)
+            we = pc() - t0
+            t0 = pc()
+            out = decode_fastq(enc2, backend=back)
+            wd = pc() - t0
+            assert enc2 == enc and out == data
+            print(f"run {i}: encode {we*1e3:.1f} ms  decode {wd*1e3:.1f} "
+                  "ms  "
+                  + "  ".join(f"{k}={v*1e3:.1f}" for k, v in acc.items()))
+            best_e, best_d = min(best_e, we), min(best_d, wd)
+        print(f"best: encode {best_e*1e3:.1f} ms  decode {best_d*1e3:.1f}"
+              f" ms -> anchored-host "
+              f"{2*len(data)/(best_e+best_d)/1e9:.3f} GB/s (+ device s)")
 
     for mod, name, real in saves:
         setattr(mod, name, real)
