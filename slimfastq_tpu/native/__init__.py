@@ -144,6 +144,9 @@ def _load():
         lib.match_encode_lanes.restype = i64
         lib.match_encode_lanes.argtypes = [pi64, p8, pi64, pi64, i64,
                                            i64, i64, p8, i64, pi64]
+        lib.match_mflag.restype = None
+        lib.match_mflag.argtypes = [pi64, pi64, pi64, i64, pi64, i64,
+                                    i64, i64, p8]
     except AttributeError:
         pass
 
@@ -635,6 +638,23 @@ def match_encode_lanes(m_arrs, min_score: int, n: int, wa: int) -> list:
         _p8(arena), stride, _pi64(sizes))
     assert r == 0, "match lane stride overflow (cannot happen: 30 B cap)"
     return [arena[w * stride: w * stride + sizes[w]] for w in range(wa)]
+
+
+def match_mflag(recs: np.ndarray, los: np.ndarray, his: np.ndarray,
+                lengths: np.ndarray, W: int, S: int) -> np.ndarray:
+    """[S, W] match-span flag matrix from span arrays — fused C++
+    replacement for pack_lanes(span_flags_flat(...)) (bit-identical;
+    the numpy chain cost ~60-80 ms/64k block inside the pipeline)."""
+    n = len(lengths)
+    if S == 0:
+        return np.zeros((0, W), dtype=np.uint8)
+    matT = np.empty((W, S), dtype=np.uint8)
+    lib.match_mflag(_pi64(np.ascontiguousarray(recs)),
+                    _pi64(np.ascontiguousarray(los)),
+                    _pi64(np.ascontiguousarray(his)), len(recs),
+                    _pi64(np.ascontiguousarray(lengths)), n, W, S,
+                    _p8(matT))
+    return transpose_mat(matT)
 
 
 def match_apply_arrays(dst: np.ndarray, src: np.ndarray,

@@ -2142,6 +2142,39 @@ int64_t match_encode_lanes(const int64_t* refs, const uint8_t* orients,
     return 0;
 }
 
+// Build the [S, W] match-span flag matrix (seq_mflag) directly from
+// match spans — the fused replacement for the numpy
+// span-diff/cumsum/pack_lanes chain, which cost ~60-80 ms per 64k
+// block inside the pipeline (np.add.at + a 6.5M-element cumsum + a
+// full lane re-pack, three times per L4 block). Writes a [W, S]
+// row-major temp (each match's span is contiguous per lane) that the
+// caller transposes with transpose_mat — bit-identical to
+// pack_lanes(span_flags_flat(...)). Lane layout: record r -> lane
+// r % W, at the lane-local step offset given by the cumulative lengths
+// of records r % W, r % W + W, ... < r (same rule as pack_lanes).
+void match_mflag(const int64_t* recs, const int64_t* los,
+                 const int64_t* his, int64_t m, const int64_t* lengths,
+                 int64_t n, int64_t W, int64_t S, uint8_t* matT) {
+    memset(matT, 0, (size_t)(W * S));
+    std::vector<int64_t> sb((size_t)n);
+#pragma omp parallel for schedule(static)
+    for (int64_t w = 0; w < W; w++) {
+        int64_t step = 0;
+        for (int64_t r = w; r < n; r += W) {
+            sb[r] = step;
+            step += lengths[r];
+        }
+    }
+#pragma omp parallel for schedule(static, 1024)
+    for (int64_t i = 0; i < m; i++) {
+        int64_t r = recs[i];
+        int64_t lo = los[i], hi = his[i];
+        if (hi <= lo) continue;
+        uint8_t* row = matT + (r % W) * S + sb[r];
+        memset(row + lo, 1, (size_t)(hi - lo));
+    }
+}
+
 // e-transform rewrite: letters over matched spans become
 // C2B[(B2C0[read] - pred) & 3]. Refs are read from the unmodified src.
 void match_apply(uint8_t* dst, const uint8_t* src, const int64_t* seq_off,

@@ -276,12 +276,11 @@ def _match_trials(pre_jobs_extra, data, idx, lo, hi, cfg,
             recs = np.flatnonzero(acc)
             los, his = _match_span_bounds(
                 (recs, refs[recs], orients[recs], vs[recs]), lengths)
-            d = np.zeros(total + 1, dtype=np.int32)
-            keep = his > los
-            st = rec_starts[recs[keep]]
-            np.add.at(d, st + los[keep], 1)
-            np.add.at(d, st + his[keep], -1)
-            flag_flat = (np.cumsum(d[:-1]) > 0).astype(np.uint8)
+            # fused C++ flag build (bit-identical to the span-diff /
+            # cumsum / pack_lanes chain, which cost ~60-80 ms per 64k
+            # block inside the pipeline — measured, tools/profile_wall)
+            mflag = native.match_mflag(recs, los, his, lengths,
+                                       cfg.lanes, S)
         else:
             if not any(m is not None and m[3] >= t for m in matches):
                 continue
@@ -291,8 +290,9 @@ def _match_trials(pre_jobs_extra, data, idx, lo, hi, cfg,
                         for m in matches]
             flag_flat = M.span_flags_flat(M.spans(per_read, lengths),
                                           rec_starts, total)
-        mflag, _, _, _ = native.pack_lanes(flag_flat, rec_starts, lengths,
-                                           cfg.lanes, S, dtype=np.uint8)
+            mflag, _, _, _ = native.pack_lanes(flag_flat, rec_starts,
+                                               lengths, cfg.lanes, S,
+                                               dtype=np.uint8)
         if raw_args is not None:
             dpad, offs_s, offs_q, lens = raw_args
             dpad_e = dpad.copy()
@@ -609,6 +609,11 @@ def _match_mflag(m_arr, rec_starts, lengths, W: int, scounts) -> np.ndarray:
     from .models import matcher as M
     recs = m_arr[0]
     los, his = _match_span_bounds(m_arr, np.asarray(lengths))
+    S = int(np.asarray(scounts).max()) if len(scounts) else 0
+    if native.available() and hasattr(native.lib, "match_mflag"):
+        # fused C++ flag build (see _match_trials)
+        return native.match_mflag(recs, los, his, np.asarray(lengths),
+                                  W, S)
     total = int(np.asarray(lengths).sum())
     d = np.zeros(total + 1, dtype=np.int32)
     keep = his > los
@@ -616,7 +621,6 @@ def _match_mflag(m_arr, rec_starts, lengths, W: int, scounts) -> np.ndarray:
     np.add.at(d, starts + los[keep], 1)
     np.add.at(d, starts + his[keep], -1)
     flag_flat = (np.cumsum(d[:-1]) > 0).astype(np.uint8)
-    S = int(np.asarray(scounts).max()) if len(scounts) else 0
     if native.available():
         mflag, _, _, _ = native.pack_lanes(flag_flat, rec_starts, lengths,
                                            W, S, dtype=np.uint8)

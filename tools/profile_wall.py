@@ -24,6 +24,9 @@ def main():
     reads = int(sys.argv[1]) if len(sys.argv) > 1 and \
         sys.argv[1].isdigit() else 65536
     use_cprofile = "--cprofile" in sys.argv
+    level = 3
+    if "--level" in sys.argv:
+        level = int(sys.argv[sys.argv.index("--level") + 1])
     sys.argv = [a for a in sys.argv if a != "--cprofile"]
 
     from slimfastq_tpu.api import decode_fastq, encode_fastq
@@ -41,7 +44,7 @@ def main():
     print(f"raw = {len(data)/1e6:.1f} MB, {reads} reads")
 
     t0 = pc()
-    enc = encode_fastq(data, level=3, backend=back, **kw)
+    enc = encode_fastq(data, level=level, backend=back, **kw)
     print(f"record encode: {pc()-t0:.3f}s")
     t0 = pc()
     out = decode_fastq(enc, backend=back)
@@ -74,7 +77,14 @@ def main():
                       (C, "write_block"), (C, "read_block"),
                       (native, "fastq_index"), (native, "ids_decode"),
                       (native, "fastq_assemble"),
-                      (native, "transpose_mat")):
+                      (native, "transpose_mat"),
+                      (native, "match_find_arrays"),
+                      (native, "match_apply_arrays"),
+                      (native, "pack_lanes"),
+                      (PN, "_match_trials"), (PN, "_match_mflag"),
+                      (PN, "_parse_match_lanes"),
+                      (PN, "_match_reconstruct_letters"),
+                      (PN, "stream_jobs_fast")):
         saves.append((mod, name, wrap(mod, name)))
     # api binds some of these at import time inside functions — it
     # imports from .pipeline_native at call time, so patching the module
@@ -92,7 +102,7 @@ def main():
             acc.clear()
             back.start_replay()
             t0 = pc()
-            enc2 = encode_fastq(data, level=3, backend=back, **kw)
+            enc2 = encode_fastq(data, level=level, backend=back, **kw)
             we = pc() - t0
             t0 = pc()
             out = decode_fastq(enc2, backend=back)
@@ -115,7 +125,7 @@ def main():
         back.start_replay()
         pr = cProfile.Profile()
         pr.enable()
-        enc2 = encode_fastq(data, level=3, backend=back, **kw)
+        enc2 = encode_fastq(data, level=level, backend=back, **kw)
         out = decode_fastq(enc2, backend=back)
         pr.disable()
         st = pstats.Stats(pr)
