@@ -169,10 +169,13 @@ def test_frozen_constants():
     assert (R.CAP_LOG2, R.CNT_SHIFT) == (4, 22)
     # VERSION 5 (round 4): long-range read-match stream (MATCH) + the
     # per-block flags/seq_order bytes; the descriptor layout, e-transform
-    # and prediction rule are frozen in models/matcher.py's docstring
+    # and prediction rule are frozen in models/matcher.py's docstring.
+    # SAMPLE_MASK is an ENCODER policy knob (decode reads explicit
+    # descriptors): round 5 moved it 7 -> 15 measured-first
+    # (tools/probe_sample_mask.py; -38% match_find for +0.2% container).
     assert container.VERSION == 5
     from slimfastq_tpu.models import matcher as M
-    assert (M.K, M.SAMPLE_MASK, M.MAX_CAND) == (16, 7, 16)
+    assert (M.K, M.SAMPLE_MASK, M.MAX_CAND) == (16, 15, 16)
     assert (M.MM_PENALTY, M.MATCH_CHUNK) == (8, 1024)
 
 

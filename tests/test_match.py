@@ -85,6 +85,7 @@ def _used_match(enc: bytes) -> bool:
                for blk in container.iter_blocks(f, cfg))
 
 
+@pytest.mark.slow
 def test_oracle_roundtrip_with_matches():
     data = _match_data()
     enc = encode_fastq(data, level=4, use_native=False, **CFG)
@@ -98,6 +99,7 @@ def test_oracle_roundtrip_with_matches():
     assert decode_fastq(plain, use_native=False) == data
 
 
+@pytest.mark.slow
 def test_native_matcher_equals_oracle():
     """C++ match_find reproduces the normative NumPy matcher bit-for-bit
     (selection incl. tie-breaks) — this is what keeps native and oracle
@@ -239,6 +241,7 @@ def _polya_poc_check():
     assert got == want, "native selection diverged from the oracle"
 
 
+@pytest.mark.slow
 def test_match_find_polya_terminates():
     """Regression (round-4 ADVICE high severity): the candidate-dedup set
     is now sized by the ACTUAL sampled-k-mer counts, so low-complexity
